@@ -1,0 +1,153 @@
+"""Core data model: extraction items, labels, result records, Arrow schemas.
+
+Mirrors the observable output of the reference's ``DoclingDocument`` item
+tree (docling-core), reduced to what the extraction/equality path needs:
+flat, ordered items with a label, text, hierarchy level and content layer
+(BODY vs FURNITURE — reference: docling/backend/html_backend.py:131-134).
+
+Nested per-turn structures (spans, label histogram) are emitted as JSON
+strings in the output record, following the reference's own flattening of
+nested metadata into JSON strings in its final record
+(genon/preprocessor/src/preprocessor.py:102-103, GenOSVectorMeta
+``chunk_bboxes``/``media_files``).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+
+# Item labels — subset of docling-core DocItemLabel that the declarative
+# backends emit (html_backend.py, md_backend.py, pymupdf_backend.py).
+TITLE = "title"
+SECTION_HEADER = "section_header"
+TEXT = "text"
+PARAGRAPH = "paragraph"
+CODE = "code"
+LIST_ITEM = "list_item"
+TABLE = "table"
+CAPTION = "caption"
+PICTURE = "picture"
+
+BODY = "body"
+FURNITURE = "furniture"
+
+# Conversion statuses — mirrors docling ConversionStatus
+# (docling/datamodel/base_models.py:36-42): SUCCESS / PARTIAL_SUCCESS /
+# FAILURE / SKIPPED, plus an explicit "empty" for blank payloads.
+STATUS_OK = "ok"
+STATUS_EMPTY = "empty"
+STATUS_PARSE_ERROR = "parse_error"
+STATUS_UNSUPPORTED = "unsupported"
+
+
+@dataclass
+class Item:
+    """One extraction item (analog of a DoclingDocument node with text)."""
+
+    label: str
+    text: str
+    level: int = 0  # heading level (1..6) or list nesting depth
+    marker: str = ""  # list marker, e.g. "-" or "3."
+    content_layer: str = BODY
+
+
+@dataclass
+class ParseResult:
+    """Outcome of extracting one payload (analog of ConversionResult,
+    docling/datamodel/document.py:214-231)."""
+
+    items: list[Item] = field(default_factory=list)
+    status: str = STATUS_OK
+    error: str = ""
+
+
+def render_items(items: list[Item]) -> tuple[str, list[dict]]:
+    """Serialize items to (extracted_text, spans).
+
+    Rules (this engine's canonical text form, modeled on docling's
+    markdown export of the item tree, kept plain-text):
+      - only BODY-layer items with non-empty text are rendered
+        (FURNITURE — pre-first-heading boilerplate — is dropped, the
+        reference excludes furniture from markdown export);
+      - list items render as ``{marker} {text}``;
+      - all other labels render their text verbatim;
+      - items joined with a single ``\\n``.
+
+    spans: one dict per rendered item: {label, start, end} — character
+    offsets into extracted_text (analog of docling charspan provenance,
+    docling/models/readingorder_model.py:292-337).
+    """
+    parts: list[str] = []
+    spans: list[dict] = []
+    pos = 0
+    for it in items:
+        if it.content_layer != BODY or it.label == PICTURE:
+            continue
+        if it.label == LIST_ITEM and it.marker:
+            line = f"{it.marker} {it.text}"
+        else:
+            line = it.text
+        if not line:
+            continue
+        if parts:
+            pos += 1  # the joining "\n"
+        parts.append(line)
+        spans.append({"label": it.label, "start": pos, "end": pos + len(line)})
+        pos += len(line)
+    return "\n".join(parts), spans
+
+
+def label_histogram(items: list[Item]) -> dict[str, int]:
+    """Per-turn item-label histogram over BODY items (regression-suite
+    analog: genon/preprocessor/tests/regression/test_pdf_regression.py:55-63)."""
+    hist: dict[str, int] = {}
+    for it in items:
+        if it.content_layer != BODY:
+            continue
+        hist[it.label] = hist.get(it.label, 0) + 1
+    return hist
+
+
+def spans_json(spans: list[dict]) -> str:
+    return json.dumps(spans, separators=(",", ":"), ensure_ascii=False)
+
+
+def hist_json(hist: dict[str, int]) -> str:
+    return json.dumps(dict(sorted(hist.items())), separators=(",", ":"))
+
+
+# Arrow schema of the extraction stage output (per turn).
+EXTRACTED_SCHEMA = pa.schema(
+    [
+        pa.field("conv_id", pa.string()),
+        pa.field("turn_idx", pa.int32()),
+        pa.field("role", pa.string()),
+        pa.field("tool", pa.string()),
+        pa.field("ts", pa.timestamp("us")),
+        pa.field("format", pa.string()),
+        pa.field("content_hash", pa.string()),
+        pa.field("extracted_text", pa.string()),
+        pa.field("spans", pa.string()),       # JSON: [{label,start,end}]
+        pa.field("label_hist", pa.string()),  # JSON: {label: count}
+        pa.field("status", pa.string()),
+        pa.field("error", pa.string()),
+        pa.field("n_items", pa.int32()),
+        pa.field("n_chars_in", pa.int64()),
+        pa.field("n_chars_out", pa.int64()),
+    ]
+)
+
+# Input schema (from BASELINE.json input_hint).
+TRANSCRIPT_SCHEMA = pa.schema(
+    [
+        pa.field("conv_id", pa.string()),
+        pa.field("turn_idx", pa.int32()),
+        pa.field("role", pa.string()),
+        pa.field("text", pa.string()),
+        pa.field("tool", pa.string()),
+        pa.field("ts", pa.timestamp("us")),
+    ]
+)

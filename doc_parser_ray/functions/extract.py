@@ -1,0 +1,59 @@
+"""Per-payload extraction dispatcher with the reference's fallback chain.
+
+Mirrors the facade's behavior of trying the primary backend and falling
+back on any exception (genon/preprocessor/facade/
+intelligent_processor.py:1055-1069: DoclingParseV4 → PyPdfium retry):
+here html/markdown/pdf extraction falls back to the plain-text extractor
+rather than erroring the row, and a failed base64 decode yields a
+``parse_error`` status — errors are data, never exceptions
+(ConversionStatus semantics, docling/datamodel/base_models.py:36-42).
+"""
+
+from __future__ import annotations
+
+import base64
+import binascii
+import hashlib
+
+from doc_parser_ray.datamodel import (
+    STATUS_PARSE_ERROR,
+    ParseResult,
+)
+from doc_parser_ray.functions.html_extract import extract_html
+from doc_parser_ray.functions.md_extract import extract_markdown
+from doc_parser_ray.functions.pdf_extract import extract_pdf
+from doc_parser_ray.functions.sniff import sniff_format
+from doc_parser_ray.functions.text_extract import extract_plain_text
+
+
+def content_hash(text: str) -> str:
+    """SHA-256 identity of the payload (docling/utils/utils.py:19-44)."""
+    return hashlib.sha256(text.encode("utf-8", "surrogatepass")).hexdigest()
+
+
+def extract_payload(text: str, tool: str = "") -> tuple[str, ParseResult]:
+    """(format, ParseResult) for one turn payload."""
+    fmt = sniff_format(text, tool)
+    if fmt == "html":
+        res = extract_html(text)
+        if res.status == STATUS_PARSE_ERROR:
+            res = extract_plain_text(text)  # fallback chain
+    elif fmt == "markdown":
+        res = extract_markdown(text)
+        if res.status == STATUS_PARSE_ERROR:
+            res = extract_plain_text(text)
+    elif fmt == "pdf":
+        stripped = text.lstrip()
+        if stripped.startswith("%PDF-"):
+            data = stripped.encode("latin-1", "replace")
+        else:
+            try:
+                data = base64.b64decode(stripped, validate=True)
+            except (binascii.Error, ValueError) as e:
+                return fmt, ParseResult(
+                    items=[], status=STATUS_PARSE_ERROR, error=f"base64: {e}"
+                )
+        res = extract_pdf(data)
+    else:
+        res = extract_plain_text(text)
+    return fmt, res

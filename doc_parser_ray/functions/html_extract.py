@@ -1,0 +1,507 @@
+"""HTML main-content extraction — from-scratch reimplementation of the
+observable semantics of the reference's ``HTMLDocumentBackend``
+(/root/reference/docling/backend/html_backend.py, 641 LoC, BeautifulSoup
+based). Built on the stdlib ``html.parser`` (no bs4 in this engine) with
+a tiny DOM, so it stays dependency-free and picklable for Ray tasks.
+
+Semantics reproduced (reference file:line cites):
+  - walk starts at <body> if present, else the root (html_backend.py:125);
+  - every <br> acts as a newline text node (":126-129");
+  - furniture/body split: if the document contains any h1..h6, everything
+    emitted before the first handled header is FURNITURE, the rest BODY
+    (":131-134", switch to BODY at ":247");
+  - only whitelisted tags produce items (TAGS_FOR_NODE_ITEMS ":33-52");
+    unknown tags (div/span/section/script/style/nav/...) are transparently
+    walked — scripts, styles and comments contribute NO text (bs4 treats
+    them as PreformattedString, excluded at ":156-158");
+  - stray text directly inside <div> becomes a TEXT item; stray text in
+    any other container is dropped; accumulated stray text flushes when
+    the current text node is the last child or any later tag sibling is a
+    whitelisted item tag (":156-180");
+  - h1 → TITLE and resets the whole parent stack; h2..h6 → SECTION_HEADER
+    with implicit section groups on level jumps, tail trim on level drops
+    (":242-294");
+  - p/address/summary → TEXT; pre/code → CODE; both use the bs4
+    ``element.text`` semantics: concatenation of all descendant text in
+    document order, then ``.strip()`` (":296-329");
+  - ul/ol → list group; ol ``start`` attribute tracked; list items inside
+    an ol with explicit start get marker ``{start + #prior-children}.``
+    (":331-372"); this engine additionally assigns display markers to the
+    remaining list items ("-" unordered, "{n}." ordered) so the rendered
+    text matches docling's markdown serialization of the same tree;
+  - li containing a nested list: text extracted recursively but nested
+    ul/ol subtrees contribute only a space, newlines removed, whitespace
+    collapsed (":206-225", ":374-401");
+  - table → grid reconstruction with rowspan/colspan arithmetic, skipped
+    entirely when it contains a nested table (":421-535"); rendered here
+    as " | "-joined cells per row, newline-joined rows;
+  - figure → CAPTION item (text of <figcaption>) + PICTURE; bare <img> →
+    PICTURE with no text (":584-641");
+  - details → transparent section group (":227-240").
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+from doc_parser_ray.datamodel import (
+    BODY,
+    CAPTION,
+    CODE,
+    FURNITURE,
+    LIST_ITEM,
+    PICTURE,
+    SECTION_HEADER,
+    STATUS_EMPTY,
+    STATUS_OK,
+    STATUS_PARSE_ERROR,
+    TABLE,
+    TEXT,
+    TITLE,
+    Item,
+    ParseResult,
+)
+
+# Tags that generate items (html_backend.py:33-52).
+TAGS_FOR_NODE_ITEMS = frozenset(
+    [
+        "address", "details",
+        "h1", "h2", "h3", "h4", "h5", "h6",
+        "p", "pre", "code", "ul", "ol", "li", "summary",
+        "table", "figure", "img",
+    ]
+)
+
+_VOID_TAGS = frozenset(
+    [
+        "area", "base", "br", "col", "embed", "hr", "img", "input",
+        "link", "meta", "param", "source", "track", "wbr",
+    ]
+)
+
+# Tags whose text content must never surface (bs4 PreformattedString analog).
+_RAW_TEXT_TAGS = frozenset(["script", "style"])
+
+
+class _Node:
+    __slots__ = ("name", "attrs", "children", "parent")
+
+    def __init__(self, name: str, attrs: dict | None = None, parent: "_Node | None" = None):
+        self.name = name
+        self.attrs = attrs or {}
+        self.children: list = []  # _Node | str (text)
+        self.parent = parent
+
+
+class _DomBuilder(HTMLParser):
+    """Lenient DOM builder: void tags self-close, mismatched end tags pop
+    to the nearest matching open tag (ignored when none is open)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root = _Node("[document]")
+        self.stack = [self.root]
+
+    def handle_starttag(self, tag, attrs):
+        node = _Node(tag, dict(attrs), self.stack[-1])
+        self.stack[-1].children.append(node)
+        if tag not in _VOID_TAGS:
+            self.stack.append(node)
+
+    def handle_startendtag(self, tag, attrs):
+        self.stack[-1].children.append(_Node(tag, dict(attrs), self.stack[-1]))
+
+    def handle_endtag(self, tag):
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].name == tag:
+                del self.stack[i:]
+                return
+        # unmatched close tag: ignore
+
+    def handle_data(self, data):
+        cur = self.stack[-1]
+        if cur.name in _RAW_TEXT_TAGS:
+            return
+        cur.children.append(data)
+
+    # comments / doctype / PIs contribute nothing (bs4 PreformattedString)
+    def handle_comment(self, data):
+        pass
+
+    def handle_decl(self, decl):
+        pass
+
+    def handle_pi(self, data):
+        pass
+
+
+def _find_first(node: _Node, names: frozenset | set) -> _Node | None:
+    """First descendant (document order, excluding ``node`` itself) whose
+    tag name is in ``names`` — bs4 ``Tag.find([...])`` analog."""
+    for child in node.children:
+        if isinstance(child, _Node):
+            if child.name in names:
+                return child
+            found = _find_first(child, names)
+            if found is not None:
+                return found
+    return None
+
+
+def _find_all(node: _Node, names: frozenset | set) -> list[_Node]:
+    """All descendants (document order) with tag name in ``names`` —
+    bs4 ``tag(names)`` analog (recursive)."""
+    out: list[_Node] = []
+    for child in node.children:
+        if isinstance(child, _Node):
+            if child.name in names:
+                out.append(child)
+            out.extend(_find_all(child, names))
+    return out
+
+
+def _text_of(node: _Node) -> str:
+    """bs4 ``Tag.text``: concatenation of all descendant text nodes in
+    document order, no separators (html_backend.py uses ``element.text``
+    at :317, :403, :495)."""
+    parts: list[str] = []
+    _collect_text(node, parts)
+    return "".join(parts)
+
+
+def _collect_text(node: _Node, parts: list[str]) -> None:
+    for child in node.children:
+        if isinstance(child, str):
+            parts.append(child)
+        else:
+            _collect_text(child, parts)
+
+
+def _replace_br(node: _Node) -> None:
+    """<br> → "\\n" text node, document-wide (html_backend.py:126-129)."""
+    for i, child in enumerate(node.children):
+        if isinstance(child, _Node):
+            if child.name == "br":
+                node.children[i] = "\n"
+            else:
+                _replace_br(child)
+
+
+_HEADER_TAGS = frozenset(["h1", "h2", "h3", "h4", "h5", "h6"])
+
+
+class _Extractor:
+    """Stateful single-document walker (html_backend.py:144-641 analog)."""
+
+    MAX_LEVELS = 10
+
+    def __init__(self) -> None:
+        self.items: list[Item] = []
+        self.level = 0
+        # parents[i] -> ("group"|"item", child_count_list) — we only need
+        # identity + child counts for list-marker arithmetic.
+        self.parents: dict[int, dict | None] = {i: None for i in range(self.MAX_LEVELS)}
+        self.content_layer = BODY
+        # list group bookkeeping (html_backend.py _Context :55-57)
+        self.list_ordered_by_id: dict[int, bool] = {}
+        self.list_start_by_id: dict[int, int] = {}
+        self._group_seq = 0
+
+    def _new_group(self, kind: str) -> dict:
+        self._group_seq += 1
+        return {"id": self._group_seq, "kind": kind, "n_children": 0}
+
+    def _add_child(self, parent: dict | None) -> None:
+        if parent is not None:
+            parent["n_children"] += 1
+
+    def _emit(self, label: str, text: str, level: int = 0, marker: str = "") -> None:
+        self.items.append(
+            Item(label=label, text=text, level=level, marker=marker,
+                 content_layer=self.content_layer)
+        )
+
+    # --- walk ---------------------------------------------------------
+
+    def walk(self, node: _Node) -> None:
+        text = ""
+        children = node.children
+        n = len(children)
+        for i, el in enumerate(children):
+            if isinstance(el, _Node):
+                self.analyze_tag(el)
+            else:
+                # floating text outside analyzed tags (html_backend.py:156-180)
+                text += el
+                later_tags = [c for c in children[i + 1:] if isinstance(c, _Node)]
+                if i == n - 1 or any(t.name in TAGS_FOR_NODE_ITEMS for t in later_tags):
+                    stripped = text.strip()
+                    if stripped and node.name == "div":
+                        self._emit(TEXT, stripped)
+                        self._add_child(self.parents[self.level])
+                    text = ""
+
+    def analyze_tag(self, tag: _Node) -> None:
+        name = tag.name
+        if name in _HEADER_TAGS:
+            self.handle_header(tag)
+        elif name in ("p", "address", "summary"):
+            self.handle_paragraph(tag)
+        elif name in ("pre", "code"):
+            self.handle_code(tag)
+        elif name in ("ul", "ol"):
+            self.handle_list(tag)
+        elif name == "li":
+            self.handle_list_item(tag)
+        elif name == "table":
+            self.handle_table(tag)
+        elif name == "figure":
+            self.handle_figure(tag)
+        elif name == "img":
+            self.handle_image(tag)
+        elif name == "details":
+            self.handle_details(tag)
+        elif name in _RAW_TEXT_TAGS:
+            pass
+        else:
+            self.walk(tag)
+
+    # --- handlers -----------------------------------------------------
+
+    def handle_header(self, tag: _Node) -> None:
+        hlevel = int(tag.name[1])
+        text = _text_of(tag).strip()
+        self.content_layer = BODY
+        if hlevel == 1:
+            for key in self.parents:
+                self.parents[key] = None
+            self.level = 1
+            grp = self._new_group("title")
+            self.parents[self.level] = grp
+            self._emit(TITLE, text, level=1)
+        else:
+            if hlevel > self.level:
+                for i in range(self.level + 1, hlevel):
+                    self.parents[i] = self._new_group("section")
+                self.level = hlevel
+            elif hlevel < self.level:
+                for key in self.parents:
+                    if key > hlevel:
+                        self.parents[key] = None
+                self.level = hlevel
+            self.parents[hlevel] = self._new_group("heading")
+            self._add_child(self.parents[hlevel - 1])
+            self._emit(SECTION_HEADER, text, level=hlevel - 1)
+
+    def handle_paragraph(self, tag: _Node) -> None:
+        text = _text_of(tag).strip()
+        if text:
+            self._emit(TEXT, text)
+            self._add_child(self.parents[self.level])
+
+    def handle_code(self, tag: _Node) -> None:
+        text = _text_of(tag).strip()
+        if text:
+            self._emit(CODE, text)
+            self._add_child(self.parents[self.level])
+
+    def handle_list(self, tag: _Node) -> None:
+        is_ordered = tag.name == "ol"
+        start: int | None = None
+        if is_ordered:
+            start_attr = tag.attrs.get("start")
+            if isinstance(start_attr, str) and start_attr.isnumeric():
+                start = int(start_attr)
+        group = self._new_group("list")
+        self._add_child(self.parents[self.level])
+        self.parents[self.level + 1] = group
+        self.list_ordered_by_id[group["id"]] = is_ordered
+        if is_ordered and start is not None:
+            self.list_start_by_id[group["id"]] = start
+        # implicit numbering base for display markers
+        group["num_base"] = start if start is not None else 1
+
+        self.level += 1
+        self.walk(tag)
+        self.parents[self.level + 1] = None
+        self.level -= 1
+
+    def handle_list_item(self, tag: _Node) -> None:
+        nested_list = _find_first(tag, {"ul", "ol"})
+        parent = self.parents[self.level]
+        if parent is None:
+            return
+        enumerated = self.list_ordered_by_id.get(parent["id"], False)
+        # Reference marker rule (html_backend.py:368-372): explicit only
+        # when the ol has a start attribute; we extend to implicit 1-based
+        # numbering for rendering parity with docling's md serializer.
+        if enumerated:
+            base = self.list_start_by_id.get(parent["id"], parent.get("num_base", 1))
+            marker = f"{base + parent['n_children']}."
+        else:
+            marker = "-"
+
+        if nested_list is not None:
+            # recursive text, nested lists contribute a space, flattened
+            # (html_backend.py:206-225, :374-399)
+            text = _get_text_skip_lists(tag)
+            text = text.replace("\n", "").replace("\r", "")
+            text = " ".join(text.split()).strip()
+            if text:
+                item_group = self._new_group("list_item")
+                self._emit(LIST_ITEM, text, level=self.level, marker=marker)
+                self._add_child(parent)
+                self.parents[self.level + 1] = item_group
+                self.level += 1
+                self.walk(tag)
+                self.parents[self.level + 1] = None
+                self.level -= 1
+            else:
+                self.walk(tag)
+        else:
+            text = _text_of(tag).strip()
+            if text:
+                self._emit(LIST_ITEM, text, level=self.level, marker=marker)
+                self._add_child(parent)
+
+    def handle_table(self, tag: _Node) -> None:
+        grid = parse_table_grid(tag)
+        if grid is None:
+            return
+        rows_txt = []
+        for row in grid:
+            rows_txt.append(" | ".join("" if c is None else " ".join(c.split()) for c in row))
+        text = "\n".join(rows_txt).strip()
+        self._emit(TABLE, text)
+        self._add_child(self.parents[self.level])
+
+    def handle_figure(self, tag: _Node) -> None:
+        figcaption = _find_first(tag, {"figcaption"})
+        if figcaption is None:
+            self._emit(PICTURE, "")
+        else:
+            caption = _text_of(figcaption).strip()
+            self._emit(CAPTION, caption)
+            self._emit(PICTURE, "")
+        self._add_child(self.parents[self.level])
+
+    def handle_image(self, tag: _Node) -> None:
+        self._emit(PICTURE, "")
+        self._add_child(self.parents[self.level])
+
+    def handle_details(self, tag: _Node) -> None:
+        self.parents[self.level + 1] = self._new_group("details")
+        self._add_child(self.parents[self.level])
+        self.level += 1
+        self.walk(tag)
+        self.parents[self.level + 1] = None
+        self.level -= 1
+
+
+def _get_text_skip_lists(node: _Node) -> str:
+    """bs4 ``get_text`` analog used for li-with-nested-list
+    (html_backend.py:206-225): recursive join where every tag contributes
+    its children's text + a trailing space, except ul/ol whose subtrees
+    are skipped (they still contribute the trailing space)."""
+
+    def rec(item) -> list[str]:
+        if isinstance(item, str):
+            return [item]
+        result: list[str] = []
+        if item.name not in ("ul", "ol"):
+            for child in item.children:
+                result.extend(rec(child))
+        return ["".join(result) + " "]
+
+    parts: list[str] = []
+    for child in node.children:
+        parts.extend(rec(child))
+    return "".join(parts) + " "
+
+
+def parse_table_grid(tag: _Node) -> list[list[str | None]] | None:
+    """Reconstruct the cell grid with rowspan/colspan arithmetic
+    (html_backend.py:421-535). Returns None for tables containing a
+    nested table (":423-426"). Cell text is the raw bs4-style ``.text``.
+    """
+    if _find_first(tag, {"table"}) is not None:
+        return None
+
+    trs = _find_all(tag, {"tr"})
+
+    num_rows = 0
+    num_cols = 0
+    for row in trs:
+        col_count = 0
+        is_row_header = True
+        for cell in _find_all(row, {"td", "th"}):
+            val = cell.attrs.get("colspan", "1")
+            colspan = int(val) if isinstance(val, str) and val.isnumeric() else 1
+            col_count += colspan
+            if cell.name == "td" or cell.attrs.get("rowspan") is None:
+                is_row_header = False
+        num_cols = max(num_cols, col_count)
+        if not is_row_header:
+            num_rows += 1
+
+    grid: list[list[str | None]] = [[None] * num_cols for _ in range(num_rows)]
+
+    start_row_span = 0
+    row_idx = -1
+    for row in trs:
+        cells = _find_all(row, {"td", "th"})
+        row_header = True
+        for cell in cells:
+            if cell.name == "td" or cell.attrs.get("rowspan") is None:
+                row_header = False
+        if not row_header:
+            row_idx += 1
+            start_row_span = 0
+        else:
+            start_row_span += 1
+
+        col_idx = 0
+        for cell in cells:
+            text = _text_of(cell)
+            cv = cell.attrs.get("colspan", "1")
+            col_span = int(cv) if isinstance(cv, str) and cv.isnumeric() else 1
+            rv = cell.attrs.get("rowspan", "1")
+            row_span = int(rv) if isinstance(rv, str) and rv.isnumeric() else 1
+            if row_header:
+                row_span -= 1
+            while (
+                col_idx < num_cols
+                and 0 <= row_idx + start_row_span < num_rows
+                and grid[row_idx + start_row_span][col_idx] is not None
+            ):
+                col_idx += 1
+            for r in range(start_row_span, start_row_span + row_span):
+                for c in range(col_span):
+                    if 0 <= row_idx + r < num_rows and col_idx + c < num_cols:
+                        grid[row_idx + r][col_idx + c] = text
+    return grid
+
+
+def extract_html(payload: str) -> ParseResult:
+    """bytes/str HTML → ordered extraction items (P1 semantics)."""
+    if not payload or not payload.strip():
+        return ParseResult(items=[], status=STATUS_EMPTY)
+    try:
+        builder = _DomBuilder()
+        builder.feed(payload)
+        builder.close()
+        root = builder.root
+
+        content = _find_first(root, {"body"}) or root
+        _replace_br(content)
+
+        ex = _Extractor()
+        # furniture/body split (html_backend.py:131-134)
+        has_header = _find_first(content, _HEADER_TAGS) is not None
+        ex.content_layer = FURNITURE if has_header else BODY
+        ex.walk(content)
+        if not ex.items:
+            return ParseResult(items=[], status=STATUS_EMPTY)
+        return ParseResult(items=ex.items, status=STATUS_OK)
+    except Exception as e:  # never raise across block boundaries
+        return ParseResult(items=[], status=STATUS_PARSE_ERROR, error=f"{type(e).__name__}: {e}")

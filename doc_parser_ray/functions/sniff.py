@@ -1,0 +1,59 @@
+"""Payload format sniffing — content-heuristic analog of the reference's
+``_DocumentConversionInput._guess_format`` + ``_detect_html_xhtml`` + CSV
+sniffer (/root/reference/docling/datamodel/document.py:306-506): mime
+first (here: the transcript ``tool`` column), then content sniffing on
+the head of the payload.
+
+Formats: "html" | "markdown" | "text" | "pdf" | "unknown".
+A base64-encoded PDF payload ("JVBERi0" prefix = base64 of "%PDF-") is
+recognized as "pdf", matching the transcript encoding convention
+(FIXTURES.md §1.1).
+"""
+
+from __future__ import annotations
+
+import re
+
+_HTML_DECL_RE = re.compile(r"<!doctype\s+html|<html\b|<body\b|<head\b", re.I)
+_HTML_TAG_RE = re.compile(
+    r"<(div|p|h[1-6]|ul|ol|li|table|tr|td|th|br|pre|code|figure|img|span|a)\b[^>]*>",
+    re.I,
+)
+_MD_RE = re.compile(
+    r"^#{1,6}\s+\S"        # ATX heading
+    r"|^```"               # fence
+    r"|^[-*+]\s+\S"        # bullet
+    r"|^\d+[.)]\s+\S"      # ordered item
+    r"|^\|.*\|\s*$"        # pipe table row
+    r"|\[[^\]]+\]\([^)]+\)",  # link
+    re.M,
+)
+
+VALID_TOOLS = {"html", "markdown", "text", "pdf"}
+
+
+def sniff_format(text: str, tool: str = "") -> str:
+    """Return the payload format for one turn.
+
+    ``tool`` (the transcript discriminator column) wins when it names a
+    known format — the analog of mime-type dispatch; otherwise the first
+    4 KiB of content is sniffed (document.py:440-477 analog).
+    """
+    tool = (tool or "").strip().lower()
+    if tool in VALID_TOOLS:
+        return tool
+    if tool:  # unknown discriminator → let content decide, else unknown
+        pass
+    if not text or not text.strip():
+        return "text"
+    head = text[:4096]
+    stripped = head.lstrip()
+    if stripped.startswith("%PDF-") or stripped.startswith("JVBERi0"):
+        return "pdf"
+    if _HTML_DECL_RE.search(head):
+        return "html"
+    if _HTML_TAG_RE.search(head):
+        return "html"
+    if _MD_RE.search(head):
+        return "markdown"
+    return "text"
