@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` entries map 1:1 to implemented operators from SURVEY.md §2
+plus the training-data extensions (dedup / similarity / text analysis);
+``oracle_sql()`` provides the DuckDB-equivalent SQL for every
+SQL-expressible entry. Column names and types match on both sides
+(aggregates rounded identically; per-row ratios floor-scaled to ints so
+IEEE-rounding rules can't diverge).
 """
 
 from __future__ import annotations
@@ -18,27 +16,258 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+_EN_STOP = (
+    "'the','a','of','and','to','in','is','that','it','for','on','with','as',"
+    "'was','at','by','an','be','this','have','from','or'"
+)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: wrap the documents
+    table into multi-turn transcripts (conv per source, payloads in all
+    four formats), run extraction + conversation assembly, return the
+    Dataset."""
+    import base64
+
+    import pyarrow as pa
+
+    import ray.data
+
+    from doc_parser_ray.pipelines.extraction import extract_transcripts
+    from doc_parser_ray.sources.pdf_gen import simple_text_pdf
+
+    docs = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text", "source"],
+    )
+
+    def to_turns(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        sources = batch.column("source").to_pylist()
+        payloads, tools = [], []
+        for i, t in zip(ids, texts):
+            t = (t or "").strip()
+            m = i % 4
+            if m == 0:
+                payloads.append(f"<html><body><h1>Doc {i}</h1><p>{t}</p></body></html>")
+                tools.append("html")
+            elif m == 1:
+                payloads.append(f"# Doc {i}\n\n{t}")
+                tools.append("markdown")
+            elif m == 2:
+                payloads.append(t)
+                tools.append("text")
+            else:
+                payloads.append(base64.b64encode(simple_text_pdf([t])).decode())
+                tools.append("pdf")
+        return pa.table(
+            {
+                "conv_id": pa.array(sources, pa.string()),
+                "turn_idx": pa.array([int(i) for i in ids], pa.int32()),
+                "role": pa.array(
+                    [("user", "assistant", "tool")[i % 3] for i in ids], pa.string()
+                ),
+                "text": pa.array(payloads, pa.string()),
+                "tool": pa.array(tools, pa.string()),
+                "ts": pa.array([1_767_225_600_000_000 + i for i in ids],
+                               pa.timestamp("us")),
+            }
+        )
+
+    turns = docs.map_batches(to_turns, batch_format="pyarrow", zero_copy_batch=True)
+    return extract_transcripts(turns, assemble=True)
+
+
+def _q_extract_transcripts(sf_dir: str):
+    """Flagship over deterministic synthetic transcripts (the
+    BASELINE.json input_hint table shape; no SQL oracle — rows-only)."""
+    from doc_parser_ray.pipelines.extraction import extract_transcripts
+    from doc_parser_ray.sources.transcripts import transcripts_dataset
+
+    ds = transcripts_dataset(n_convs=150, seed=42, max_turns=120)
+    return extract_transcripts(ds, assemble=True, salt_bucket_turns=64)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from doc_parser_ray.pipelines import relational as R
+    from doc_parser_ray.pipelines import trainingdata as T
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational surface (SURVEY.md §2.6 → Ray Data shapes)
+        "q1_pricing_summary": R.q1_pricing_summary,
+        "q3_top_orders": R.q3_top_orders,
+        "q_region_rollup": R.q_region_rollup,
+        "q_events_by_type": R.q_events_by_type,
+        "q_orders_monthly": R.q_orders_monthly,
+        "q_part_brand_topk": R.q_part_brand_topk,
+        "q_distinct_segments": R.q_distinct_segments,
+        # extraction (P1/P2/P5 + PDF path, SQL-verified round-trip)
+        "extract_roundtrip": T.extract_roundtrip,
+        "extract_transcripts": _q_extract_transcripts,
+        # dedup family
+        "dedup_exact": T.dedup_exact,
+        "dedup_prefix": T.dedup_prefix,
+        "dedup_minhash": T.dedup_minhash,
+        "dedup_simhash": T.dedup_simhash,
+        "dedup_embedding": T.dedup_embedding,
+        # text analysis
+        "text_tokens": T.text_tokens,
+        "text_quality": T.text_quality,
+        "lang_id": T.lang_id,
+        "doc_fingerprints": T.doc_fingerprints,
+        # similarity search
+        "knn_cosine": T.knn_documents,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        # Monetary aggregates compare as per-row integer cents
+        # (FLOOR(x*100+0.5)): per-row IEEE math is bit-identical across
+        # engines, so integer sums are exactly comparable — see
+        # doc_parser_ray/util.py::cents.
+        "q1_pricing_summary": """
+            WITH l AS (
+                SELECT l_returnflag, l_linestatus,
+                       CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT)      AS qty_c,
+                       CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS base_price_c,
+                       CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100.0 + 0.5)
+                            AS BIGINT) AS disc_price_c,
+                       CAST(FLOOR(l_discount * 10000.0 + 0.5) AS BIGINT)    AS disc_c
+                FROM lineitem
+                WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            )
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(qty_c) AS BIGINT)        AS sum_qty_c,
+                   CAST(SUM(base_price_c) AS BIGINT) AS sum_base_price_c,
+                   CAST(SUM(disc_price_c) AS BIGINT) AS sum_disc_price_c,
+                   AVG(qty_c)        AS avg_qty_c,
+                   AVG(disc_c)       AS avg_disc_e4,
+                   COUNT(*)          AS count_order
+            FROM l
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q3_top_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 10
+        """,
+        "q_region_rollup": """
+            SELECT r_name, COUNT(*) AS n_customers,
+                   CAST(SUM(CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_acctbal_c
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name ORDER BY r_name
+        """,
+        "q_events_by_type": """
+            SELECT event_type, COUNT(*) AS n_events,
+                   CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_c,
+                   COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "q_orders_monthly": """
+            SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER)  AS o_year,
+                   CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS o_month,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                       AS BIGINT) AS sum_totalprice_c
+            FROM orders GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "q_part_brand_topk": """
+            SELECT p_brand, p_partkey, p_retailprice, brand_rank
+            FROM (
+                SELECT p_brand, p_partkey, p_retailprice,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY p_brand
+                           ORDER BY p_retailprice DESC, p_partkey
+                       ) AS brand_rank
+                FROM part
+            )
+            WHERE brand_rank <= 3
+            ORDER BY p_brand, brand_rank
+        """,
+        "q_distinct_segments": """
+            SELECT c_mktsegment, COUNT(*) AS n_customers
+            FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        "extract_roundtrip": """
+            SELECT doc_id, TRIM(text) AS extracted_text
+            FROM documents ORDER BY doc_id
+        """,
+        "dedup_exact": r"""
+            SELECT MIN(doc_id) AS doc_id
+            FROM documents
+            GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+            ORDER BY doc_id
+        """,
+        "dedup_prefix": r"""
+            SELECT MIN(doc_id) AS doc_id
+            FROM documents
+            GROUP BY substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), 1, 40)
+            ORDER BY doc_id
+        """,
+        "text_tokens": r"""
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+                       AS n_words,
+                   length(text) AS n_chars,
+                   CAST(FLOOR(
+                       (CASE WHEN trim(text) = '' THEN 0
+                             ELSE len(regexp_split_to_array(trim(text), '\s+')) END)
+                       * 1.3) AS BIGINT) AS n_tokens_est
+            FROM documents ORDER BY doc_id
+        """,
+        "text_quality": rf"""
+            WITH w AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\s+') AS words,
+                       length(regexp_replace(text, '\s+', '', 'g')) AS nonspace,
+                       len(regexp_extract_all(text, '[0-9]')) AS ndigits,
+                       length(text) AS nchars
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(FLOOR((nonspace / CAST(len(words) AS DOUBLE)) * 10000)
+                        AS BIGINT) AS avg_word_len_e4,
+                   CAST(FLOOR((ndigits / CAST(nchars AS DOUBLE)) * 10000)
+                        AS BIGINT) AS digit_ratio_e4,
+                   CAST(FLOOR(
+                       (len(list_filter(words,
+                            x -> lower(trim(x, '.,;:!?"''()[]')) IN ({_EN_STOP})))
+                        / CAST(len(words) AS DOUBLE)) * 10000) AS BIGINT)
+                       AS stopword_ratio_e4
+            FROM w ORDER BY doc_id
+        """,
+        "knn_cosine": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qe
+                FROM embeddings ORDER BY vec_id LIMIT 5
+            ),
+            s AS (
+                SELECT q.query_id, e.vec_id,
+                       list_cosine_similarity(q.qe, e.embedding) AS cos
+                FROM q CROSS JOIN embeddings e
+                WHERE e.vec_id <> q.query_id
+            ),
+            r AS (
+                SELECT query_id, vec_id, cos,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY query_id ORDER BY cos DESC, vec_id
+                       ) AS rank
+                FROM s
+            )
+            SELECT query_id, vec_id,
+                   CAST(FLOOR(cos * 1000.0 + 0.5) AS BIGINT) AS cosine_e3,
+                   rank
+            FROM r WHERE rank <= 10 ORDER BY query_id, rank
+        """,
+        # extract_transcripts, dedup_minhash, dedup_simhash,
+        # dedup_embedding, lang_id, doc_fingerprints: heuristic /
+        # non-SQL-expressible → rows-only checks.
+    }

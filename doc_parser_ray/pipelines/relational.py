@@ -1,0 +1,213 @@
+"""Relational demo pipelines over the TPC-H-ish test tables.
+
+These exercise the engine's relational surface (filter / projection /
+groupby-aggregate with map-side combine / broadcast join / sort-limit /
+per-group top-k / distinct) in the idiomatic Ray Data shapes. Each
+function takes ``sf_dir`` and returns a driver-small result table whose
+column names match the DuckDB oracle SQL in ``__ray_entry__.oracle_sql``.
+
+Monetary aggregates are summed over per-row integer cents
+(``util.cents``) so the result is EXACTLY comparable to the oracle —
+per-row IEEE arithmetic is bit-identical across engines, summation order
+is not. Raw per-row doubles (top-k prices) are emitted unrounded for the
+same reason.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Count, Mean, Sum
+
+from doc_parser_ray.stages.joins import broadcast_join
+from doc_parser_ray.util import cents, collect_table
+
+
+def _read(sf_dir: str, table: str, columns: list[str]):
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def q1_pricing_summary(sf_dir: str) -> pa.Table:
+    """TPC-H Q1 shape: filter → per-row derivations → groupby aggregate.
+    The aggregate combines map-side per block before the small shuffle."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+         "l_discount", "l_shipdate"],
+    )
+    cutoff = pa.scalar(
+        pc.strptime("1998-09-02", format="%Y-%m-%d", unit="us")
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.less_equal(batch.column("l_shipdate"), cutoff))
+        disc_price = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "qty_c": cents(batch.column("l_quantity")),
+                "base_price_c": cents(batch.column("l_extendedprice")),
+                "disc_price_c": cents(disc_price),
+                "disc_c": cents(batch.column("l_discount"), scale=10000),
+            }
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum(on="qty_c", alias_name="sum_qty_c"),
+            Sum(on="base_price_c", alias_name="sum_base_price_c"),
+            Sum(on="disc_price_c", alias_name="sum_disc_price_c"),
+            Mean(on="qty_c", alias_name="avg_qty_c"),
+            Mean(on="disc_c", alias_name="avg_disc_e4"),
+            Count(alias_name="count_order"),
+        )
+    )
+    tab = collect_table(out)
+    return tab.sort_by([("l_returnflag", "ascending"), ("l_linestatus", "ascending")])
+
+
+def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10) -> pa.Table:
+    """Broadcast join (dimension: customer) + filter + global top-k.
+    Per-row prices are bit-identical across engines → emitted raw."""
+    cust_tab = collect_table(
+        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        .filter(expr=f"c_mktsegment == '{segment}'")
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    joined = broadcast_join(
+        orders, cust_tab, left_key="o_custkey", right_key="c_custkey", how="inner"
+    )
+    top = joined.sort(
+        ["o_totalprice", "o_orderkey"], descending=[True, False]
+    ).limit(k)
+    tab = collect_table(top)
+    return tab.select(["o_orderkey", "o_custkey", "o_totalprice"])
+
+
+def q_region_rollup(sf_dir: str) -> pa.Table:
+    """Two chained dimension joins (region→nation, collapsed driver-side
+    because both are tiny) broadcast against the streaming fact table."""
+    region = collect_table(_read(sf_dir, "region", ["r_regionkey", "r_name"]))
+    nation = collect_table(_read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]))
+    ndf = nation.to_pandas().merge(
+        region.to_pandas(), left_on="n_regionkey", right_on="r_regionkey"
+    )[["n_nationkey", "r_name"]]
+    dim = pa.Table.from_pandas(ndf, preserve_index=False)
+
+    cust = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_nationkey": batch.column("c_nationkey"),
+                "acctbal_c": cents(batch.column("c_acctbal")),
+            }
+        )
+
+    joined = broadcast_join(
+        cust.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        dim, left_key="c_nationkey", right_key="n_nationkey", how="inner",
+    )
+    out = joined.groupby("r_name").aggregate(
+        Count(alias_name="n_customers"),
+        Sum(on="acctbal_c", alias_name="sum_acctbal_c"),
+    )
+    return collect_table(out).sort_by([("r_name", "ascending")])
+
+
+def q_events_by_type(sf_dir: str) -> pa.Table:
+    """Aggregate + two-phase distinct count (no built-in count-distinct:
+    groupby(type,user) then groupby(type) — the scale-correct shape)."""
+    ev = _read(sf_dir, "events", ["event_type", "user_id", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "user_id": batch.column("user_id"),
+                "value_c": cents(batch.column("value")),
+            }
+        )
+
+    ev = ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    base = ev.groupby("event_type").aggregate(
+        Count(alias_name="n_events"),
+        Sum(on="value_c", alias_name="sum_value_c"),
+    )
+    per_user = (
+        ev.select_columns(["event_type", "user_id"])
+        .groupby(["event_type", "user_id"])
+        .count()
+        .groupby("event_type")
+        .count()
+    )
+    base_t = collect_table(base)
+    pu_t = collect_table(per_user).rename_columns(["event_type", "n_users"])
+    merged = base_t.to_pandas().merge(pu_t.to_pandas(), on="event_type")
+    tab = pa.Table.from_pandas(merged, preserve_index=False)
+    return tab.sort_by([("event_type", "ascending")])
+
+
+def q_orders_monthly(sf_dir: str) -> pa.Table:
+    """Time-bucketed aggregate: year/month derivation inside map_batches."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_year": pc.cast(pc.year(batch.column("o_orderdate")), pa.int32()),
+                "o_month": pc.cast(pc.month(batch.column("o_orderdate")), pa.int32()),
+                "totalprice_c": cents(batch.column("o_totalprice")),
+            }
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["o_year", "o_month"])
+        .aggregate(
+            Count(alias_name="n_orders"),
+            Sum(on="totalprice_c", alias_name="sum_totalprice_c"),
+        )
+    )
+    return collect_table(out).sort_by(
+        [("o_year", "ascending"), ("o_month", "ascending")]
+    )
+
+
+def q_part_brand_topk(sf_dir: str, k: int = 3) -> pa.Table:
+    """Per-group top-k: groupby(brand).map_groups with in-group sort —
+    the windowed-aggregate shape (SQL: row_number() over partition)."""
+    ds = _read(sf_dir, "part", ["p_brand", "p_partkey", "p_retailprice"])
+
+    def topk(group: pa.Table) -> pa.Table:
+        group = group.sort_by(
+            [("p_retailprice", "descending"), ("p_partkey", "ascending")]
+        ).slice(0, k)
+        return group.append_column(
+            "brand_rank", pa.array(range(1, group.num_rows + 1), pa.int64())
+        )
+
+    out = ds.groupby("p_brand").map_groups(topk, batch_format="pyarrow")
+    return collect_table(out).sort_by(
+        [("p_brand", "ascending"), ("brand_rank", "ascending")]
+    )
+
+
+def q_distinct_segments(sf_dir: str) -> pa.Table:
+    """Distinct via groupby-count, sorted."""
+    out = (
+        _read(sf_dir, "customer", ["c_mktsegment"])
+        .groupby("c_mktsegment")
+        .count()
+    )
+    tab = collect_table(out).rename_columns(["c_mktsegment", "n_customers"])
+    return tab.sort_by([("c_mktsegment", "ascending")])

@@ -1,0 +1,294 @@
+"""Training-data operator pipelines over the ``documents`` and
+``embeddings`` test tables: dedup family, text analysis, similarity
+search, and the wrap→extract round-trip that SQL-verifies the extraction
+stage itself.
+
+Result column names match the DuckDB oracles in ``__ray_entry__``.
+"""
+
+from __future__ import annotations
+
+import base64
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from doc_parser_ray.functions.textstats import (
+    count_tokens_fallback,
+    detect_language,
+    fingerprint,
+    n_words,
+    quality_stats,
+)
+from doc_parser_ray.stages.dedup import (
+    add_exact_key,
+    exact_dedup,
+    minhash_lsh_pairs,
+    simhash_pairs,
+    embedding_dedup_pairs,
+)
+from doc_parser_ray.stages.extract import extract_batch
+from doc_parser_ray.stages.similarity import knn_cosine
+from doc_parser_ray.sources.pdf_gen import simple_text_pdf
+
+
+from doc_parser_ray.util import collect_table as _collect
+
+
+def _collect_pairs(ds, names: list[str], types: list[pa.DataType]) -> pa.Table:
+    """Collect a pair-result Dataset; an all-empty aggregate loses its
+    schema in Ray, so rebuild a typed empty table in that case."""
+    tab = _collect(ds)
+    if tab.num_columns == 0 or tab.num_rows == 0:
+        return pa.table({n: pa.array([], t) for n, t in zip(names, types)})
+    return tab.rename_columns(names)
+
+
+def _docs(sf_dir: str, columns=None):
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=columns or ["doc_id", "text"]
+    )
+
+
+# ------------------------------------------------------------- dedup
+
+
+def dedup_exact(sf_dir: str) -> pa.Table:
+    """Surviving doc_id per normalized-text hash (min-id-wins)."""
+    out = exact_dedup(_docs(sf_dir), id_col="doc_id", text_col="text")
+    tab = _collect(out)
+    tab = tab.rename_columns(["dedup_key", "doc_id"])
+    return tab.select(["doc_id"]).sort_by([("doc_id", "ascending")])
+
+
+def dedup_prefix(sf_dir: str, prefix_chars: int = 40) -> pa.Table:
+    """Coarser dedup key: first ``prefix_chars`` of the normalized text —
+    produces real duplicate groups on this corpus, exercising the
+    keep-min semantics non-trivially. SQL-expressible."""
+    def key_batch(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        keys = pa.array(
+            [" ".join((t or "").lower().split())[:prefix_chars] for t in texts],
+            pa.string(),
+        )
+        return batch.append_column("dedup_key", keys)
+
+    keyed = _docs(sf_dir).map_batches(
+        key_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).select_columns(["dedup_key", "doc_id"])
+    out = keyed.groupby("dedup_key").min("doc_id")
+    tab = _collect(out).rename_columns(["dedup_key", "doc_id"])
+    return tab.select(["doc_id"]).sort_by([("doc_id", "ascending")])
+
+
+def dedup_minhash(sf_dir: str) -> pa.Table:
+    """MinHash-LSH near-duplicate pairs (est. Jaccard ≥ 0.5)."""
+    pairs = minhash_lsh_pairs(
+        _docs(sf_dir), id_col="doc_id", text_col="text",
+        num_perm=64, bands=16, k=3, threshold=0.5,
+    )
+    tab = _collect_pairs(pairs, ["left_id", "right_id", "est_jaccard"],
+                         [pa.int64(), pa.int64(), pa.float64()])
+    tab = tab.set_column(2, "est_jaccard",
+                         pc.round(tab.column("est_jaccard"), ndigits=4))
+    return tab.sort_by([("left_id", "ascending"), ("right_id", "ascending")])
+
+
+def dedup_simhash(sf_dir: str) -> pa.Table:
+    """SimHash near-duplicate pairs (Hamming ≤ 3 of 64 bits)."""
+    pairs = simhash_pairs(_docs(sf_dir), id_col="doc_id", text_col="text",
+                          max_hamming=3)
+    tab = _collect_pairs(pairs, ["left_id", "right_id", "hamming"],
+                         [pa.int64(), pa.int64(), pa.int64()])
+    return tab.sort_by([("left_id", "ascending"), ("right_id", "ascending")])
+
+
+def dedup_embedding(sf_dir: str) -> pa.Table:
+    """Embedding-cosine near-duplicate pairs (cosine ≥ 0.95)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    pairs = embedding_dedup_pairs(ds, id_col="vec_id", dim=64,
+                                  n_planes=6, threshold=0.95)
+    tab = _collect_pairs(pairs, ["left_id", "right_id", "cosine"],
+                         [pa.int64(), pa.int64(), pa.float64()])
+    tab = tab.set_column(2, "cosine", pc.round(tab.column("cosine"), ndigits=3))
+    return tab.sort_by([("left_id", "ascending"), ("right_id", "ascending")])
+
+
+# ------------------------------------------------------ text analysis
+
+
+def text_tokens(sf_dir: str) -> pa.Table:
+    """Per-doc n_words / n_chars / token estimate (reference fallback
+    rule words*1.3, intelligent_processor.py:376-415)."""
+    def stats(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_words": pa.array([n_words(t or "") for t in texts], pa.int64()),
+                "n_chars": pa.array([len(t or "") for t in texts], pa.int64()),
+                "n_tokens_est": pa.array(
+                    [count_tokens_fallback(t or "") for t in texts], pa.int64()
+                ),
+            }
+        )
+
+    out = _docs(sf_dir).map_batches(stats, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    return _collect(out).sort_by([("doc_id", "ascending")])
+
+
+def text_quality(sf_dir: str) -> pa.Table:
+    """Quality-signal columns. Ratios are emitted as floor(x*1e4)
+    integers: per-row simple fractions hit exact rounding boundaries
+    where Python (half-even) and DuckDB ROUND (half-away) disagree, while
+    floor of the identical IEEE double is bit-stable on both sides."""
+    import math
+
+    def q(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        rows = [quality_stats(t or "") for t in texts]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "avg_word_len_e4": pa.array(
+                    [math.floor(r["avg_word_len"] * 10000) for r in rows], pa.int64()
+                ),
+                "digit_ratio_e4": pa.array(
+                    [math.floor(r["digit_ratio"] * 10000) for r in rows], pa.int64()
+                ),
+                "stopword_ratio_e4": pa.array(
+                    [math.floor(r["stopword_ratio"] * 10000) for r in rows], pa.int64()
+                ),
+            }
+        )
+
+    out = _docs(sf_dir).map_batches(q, batch_format="pyarrow", zero_copy_batch=True)
+    return _collect(out).sort_by([("doc_id", "ascending")])
+
+
+def lang_id(sf_dir: str) -> pa.Table:
+    """Heuristic language ID per doc (no SQL oracle — heuristic op)."""
+    def lid(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang_pred": pa.array([detect_language(t or "") for t in texts],
+                                      pa.string()),
+            }
+        )
+
+    out = _docs(sf_dir).map_batches(lid, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    return _collect(out).sort_by([("doc_id", "ascending")])
+
+
+def doc_fingerprints(sf_dir: str) -> pa.Table:
+    """Winnowing-style rolling-hash fingerprints (no SQL oracle)."""
+    def fp(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "fingerprint": pa.array([fingerprint(t or "") for t in texts],
+                                        pa.uint64()),
+            }
+        )
+
+    out = _docs(sf_dir).map_batches(fp, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    return _collect(out).sort_by([("doc_id", "ascending")])
+
+
+# --------------------------------------------------------- similarity
+
+
+def knn_documents(sf_dir: str, n_queries: int = 5, k: int = 10) -> pa.Table:
+    """Brute-force cosine top-k: first ``n_queries`` embeddings as the
+    query matrix (broadcast), streamed corpus, global deterministic rank.
+    """
+    import pyarrow.parquet as pq
+
+    head = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"]).slice(0, n_queries)
+    qids = head.column("vec_id").to_pylist()
+    qvecs = head.column("embedding").to_pylist()
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    tab = knn_cosine(ds, qids, qvecs, k=k, id_col="vec_id")
+    # fixed-point cosine (floor(x*1000+0.5)) for cross-engine hash parity
+    idx = tab.column_names.index("cosine")
+    e3 = pc.cast(
+        pc.floor(pc.add(pc.multiply(tab.column("cosine"), 1000.0), 0.5)),
+        pa.int64(),
+    )
+    tab = tab.remove_column(idx)
+    return tab.append_column("cosine_e3", e3)
+
+
+# ------------------------------------------- extraction round-trip
+
+
+def extract_roundtrip(sf_dir: str) -> pa.Table:
+    """SQL-verifiable extraction correctness: wrap each document's text
+    into HTML / markdown / plain / PDF (by doc_id % 4), run the real
+    extraction stage, return (doc_id, extracted_text). For these
+    wrappers extraction must reproduce trim(text) exactly — the DuckDB
+    oracle — proving the four parser paths through the driver's
+    value-hash gate."""
+
+    def wrap(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        payloads, tools = [], []
+        for i, t in zip(ids, texts):
+            t = (t or "").strip()
+            m = i % 4
+            if m == 0:
+                # script/style boilerplate must vanish; no headings → all
+                # body, so the oracle is exactly trim(text)
+                payloads.append(f"<html><head><script>var x=1;</script>"
+                                f"<style>.a{{}}</style></head>"
+                                f"<body><p>{t}</p></body></html>")
+                tools.append("html")
+            elif m == 1:
+                payloads.append(t)
+                tools.append("markdown")
+            elif m == 2:
+                payloads.append(t)
+                tools.append("text")
+            else:
+                payloads.append(base64.b64encode(simple_text_pdf([t])).decode())
+                tools.append("pdf")
+        n = len(ids)
+        return pa.table(
+            {
+                "conv_id": pa.array([str(i) for i in ids], pa.string()),
+                "turn_idx": pa.array([0] * n, pa.int32()),
+                "role": pa.array(["user"] * n, pa.string()),
+                "text": pa.array(payloads, pa.string()),
+                "tool": pa.array(tools, pa.string()),
+                "ts": pa.array([0] * n, pa.timestamp("us")),
+            }
+        )
+
+    wrapped = _docs(sf_dir).map_batches(wrap, batch_format="pyarrow",
+                                        zero_copy_batch=True)
+    extracted = wrapped.map_batches(extract_batch, batch_format="pyarrow",
+                                    batch_size=64)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch.column("conv_id"), pa.int64()),
+                "extracted_text": batch.column("extracted_text"),
+            }
+        )
+
+    out = extracted.map_batches(project, batch_format="pyarrow")
+    return _collect(out).sort_by([("doc_id", "ascending")])

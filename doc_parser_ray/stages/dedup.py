@@ -1,0 +1,352 @@
+"""Deduplication operators for training-data pipelines, Ray-Data-first.
+
+The reference has only intra-document dedup (cell/TOC/author dedup —
+SURVEY.md §2.6); corpus-level dedup is a required extension for the
+100 TB pipeline. Every operator here follows the same scale shape:
+
+    map_batches(compute keys)        — stateless, vectorized where possible
+    groupby(key)                     — the ONE shuffle, on a short key
+    map_groups(pick winner / pair up)
+
+so the shuffle moves only (key, id[, payload]) columns, never the full
+corpus, whenever ``payload_cols`` is pruned.
+
+Operators:
+  - exact_dedup          : hash of normalized text → keep min(id)
+  - minhash_lsh_dedup    : shingle → minhash → LSH bands → bucket groupby
+                           → verified Jaccard pairs → connected winners
+  - simhash_dedup        : 64-bit simhash, Hamming-distance buckets
+  - ngram_jaccard_pairs  : candidate pairs + exact n-gram Jaccard score
+  - embedding_dedup      : cosine-similar near-dup over an embedding col
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from doc_parser_ray.functions.textstats import normalize_for_dedup
+
+# ---------------------------------------------------------------- exact
+
+
+def _sha1_64(s: str) -> int:
+    return struct.unpack("<Q", hashlib.sha1(s.encode("utf-8")).digest()[:8])[0]
+
+
+def add_exact_key(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    texts = batch.column(text_col).to_pylist()
+    keys = pa.array(
+        [hashlib.sha1(normalize_for_dedup(t or "").encode()).hexdigest() for t in texts],
+        pa.string(),
+    )
+    return batch.append_column("dedup_key", keys)
+
+
+def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Keep the smallest id per normalized-text hash.
+
+    Scale shape: hash computed in map_batches; the groupby shuffles only
+    (dedup_key, id); winners re-join the corpus downstream by id if the
+    full rows are needed (here we return the surviving ids).
+    """
+    keyed = ds.map_batches(
+        lambda b: add_exact_key(b, text_col), batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).select_columns(["dedup_key", id_col])
+    return keyed.groupby("dedup_key").min(id_col)
+
+
+# -------------------------------------------------------------- minhash
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _shingles(text: str, k: int = 3) -> set[int]:
+    """Word k-gram shingle hashes of the normalized text."""
+    words = normalize_for_dedup(text).split()
+    if len(words) < k:
+        return {_sha1_64(" ".join(words))} if words else set()
+    return {_sha1_64(" ".join(words[i: i + k])) for i in range(len(words) - k + 1)}
+
+
+class MinHasher:
+    """num_perm-permutation MinHash via universal hashing
+    h_i(x) = (a_i * x + b_i) mod p — the standard public construction
+    (Broder 1997)."""
+
+    def __init__(self, num_perm: int = 64, seed: int = 42):
+        rng = np.random.RandomState(seed)
+        self.a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.num_perm = num_perm
+
+    def signature(self, shingle_hashes: set[int]) -> np.ndarray:
+        if not shingle_hashes:
+            return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+        x = np.fromiter(shingle_hashes, dtype=np.uint64)
+        # vectorized over shingles x permutations
+        vals = (np.outer(x, self.a) + self.b) % _MERSENNE
+        return vals.min(axis=0)
+
+
+def lsh_band_keys(sig: np.ndarray, bands: int) -> list[str]:
+    """Split the signature into bands; each band hashes to a bucket key.
+    Standard LSH banding (Leskovec/Rajaraman/Ullman, Mining of Massive
+    Datasets ch.3)."""
+    rows = len(sig) // bands
+    keys = []
+    for b in range(bands):
+        seg = sig[b * rows: (b + 1) * rows].tobytes()
+        keys.append(f"{b}:{hashlib.sha1(seg).hexdigest()[:16]}")
+    return keys
+
+
+class _MinhashBands:
+    """Actor-pool batch UDF: state (permutation tables) built once per
+    actor in __init__, per-batch work vectorized."""
+
+    def __init__(self, num_perm: int, bands: int, k: int,
+                 id_col: str, text_col: str):
+        self.hasher = MinHasher(num_perm=num_perm)
+        self.bands = bands
+        self.k = k
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_pylist()
+        texts = batch.column(self.text_col).to_pylist()
+        out_ids, out_band, out_sig = [], [], []
+        for i, t in zip(ids, texts):
+            sh = _shingles(t or "", self.k)
+            sig = self.hasher.signature(sh)
+            sig_bytes = sig.tobytes()
+            for key in lsh_band_keys(sig, self.bands):
+                out_ids.append(i)
+                out_band.append(key)
+                out_sig.append(sig_bytes)
+        return pa.table(
+            {
+                self.id_col: pa.array(out_ids),
+                "band_key": pa.array(out_band, pa.string()),
+                "minhash_sig": pa.array(out_sig, pa.binary()),
+            }
+        )
+
+
+def _bucket_pairs(group: pa.Table, id_col: str, threshold: float) -> pa.Table:
+    """Within one LSH bucket: estimated-Jaccard-filtered candidate pairs."""
+    ids = group.column(id_col).to_pylist()
+    sigs = [np.frombuffer(s, dtype=np.uint64) for s in group.column("minhash_sig").to_pylist()]
+    left, right, est = [], [], []
+    n = len(ids)
+    for i in range(n):
+        for j in range(i + 1, n):
+            if ids[i] == ids[j]:
+                continue
+            sim = float(np.mean(sigs[i] == sigs[j]))
+            if sim >= threshold:
+                a, b = sorted((ids[i], ids[j]))
+                left.append(a)
+                right.append(b)
+                est.append(sim)
+    id_type = group.column(id_col).type  # typed even when empty
+    return pa.table(
+        {
+            "left_id": pa.array(left, id_type),
+            "right_id": pa.array(right, id_type),
+            "est_jaccard": pa.array(est, pa.float64()),
+        }
+    )
+
+
+def minhash_lsh_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                      num_perm: int = 64, bands: int = 16, k: int = 3,
+                      threshold: float = 0.5, concurrency=(1, 8)):
+    """Near-duplicate candidate pairs: shingle → minhash → band →
+    groupby(band) → in-bucket pairing. The shuffle carries only
+    (id, band_key, signature); bucket sizes are tiny for non-degenerate
+    corpora (a hot bucket == a true duplicate cluster).
+    """
+    banded = ds.select_columns([id_col, text_col]).map_batches(
+        _MinhashBands,
+        fn_constructor_args=(num_perm, bands, k, id_col, text_col),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        zero_copy_batch=True,
+    )
+    pairs = banded.groupby("band_key").map_groups(
+        lambda g: _bucket_pairs(g, id_col, threshold), batch_format="pyarrow"
+    )
+    # same pair can surface from multiple bands → dedup on the pair key
+    return pairs.groupby(["left_id", "right_id"]).max("est_jaccard")
+
+
+def minhash_dedup_ids(ds, **kwargs):
+    """Surviving ids after near-dup removal: every right_id of a pair is
+    dropped (union-find collapsed to 'larger id loses', which matches the
+    min-id-wins convention for pair-shaped clusters)."""
+    id_col = kwargs.get("id_col", "doc_id")
+    pairs = minhash_lsh_pairs(ds, **kwargs)
+    losers = set(pairs.select_columns(["right_id"]).to_pandas()["right_id"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        mask = pc.invert(pc.is_in(batch.column(id_col), pa.array(list(losers))))
+        return batch.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# -------------------------------------------------------------- simhash
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word 2-grams (Charikar 2002 / Manku et al.
+    WWW'07 construction)."""
+    words = normalize_for_dedup(text).split()
+    if not words:
+        return 0
+    feats = [" ".join(words[i: i + 2]) for i in range(max(1, len(words) - 1))]
+    acc = np.zeros(64, dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
+    one = np.uint64(1)
+    for f in feats:
+        # np.uint64 throughout: a plain python int >= 2**63 cannot mix
+        # with numpy shift operands
+        h = np.uint64(_sha1_64(f))
+        bits = (h >> shifts) & one
+        acc += np.where(bits == one, 1, -1)
+    out = 0
+    for bit in range(64):
+        if acc[bit] > 0:
+            out |= 1 << bit
+    return out
+
+
+def add_simhash(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    texts = batch.column(text_col).to_pylist()
+    hs = pa.array([simhash64(t or "") for t in texts], pa.uint64())
+    return batch.append_column("simhash", hs)
+
+
+def simhash_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                  max_hamming: int = 3, blocks: int = 4):
+    """Near-dup pairs by SimHash: split the 64-bit hash into ``blocks``
+    16-bit blocks; by pigeonhole, any pair within ``max_hamming`` ≤
+    blocks-1 shares at least one exact block → groupby(block value)
+    produces complete candidate buckets (Manku et al. WWW'07)."""
+    hashed = ds.select_columns([id_col, text_col]).map_batches(
+        lambda b: add_simhash(b, text_col), batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).select_columns([id_col, "simhash"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        hs = batch.column("simhash").to_pylist()
+        o_id, o_key, o_h = [], [], []
+        for i, h in zip(ids, hs):
+            for blk in range(blocks):
+                val = (h >> (blk * 16)) & 0xFFFF
+                o_id.append(i)
+                o_key.append(f"{blk}:{val}")
+                o_h.append(h)
+        return pa.table({id_col: pa.array(o_id), "block_key": pa.array(o_key),
+                         "simhash": pa.array(o_h, pa.uint64())})
+
+    def pair_up(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_pylist()
+        hs = group.column("simhash").to_pylist()
+        left, right, dist = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if ids[i] == ids[j]:
+                    continue
+                d = int(hs[i] ^ hs[j]).bit_count()
+                if d <= max_hamming:
+                    a, b = sorted((ids[i], ids[j]))
+                    left.append(a)
+                    right.append(b)
+                    dist.append(d)
+        id_type = group.column(id_col).type
+        return pa.table({"left_id": pa.array(left, id_type),
+                         "right_id": pa.array(right, id_type),
+                         "hamming": pa.array(dist, pa.int64())})
+
+    pairs = hashed.map_batches(explode, batch_format="pyarrow") \
+        .groupby("block_key").map_groups(pair_up, batch_format="pyarrow")
+    return pairs.groupby(["left_id", "right_id"]).min("hamming")
+
+
+# ------------------------------------------------------ n-gram jaccard
+
+
+def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
+    """Exact word-k-gram Jaccard similarity."""
+    sa, sb = _shingles(a, k), _shingles(b, k)
+    if not sa and not sb:
+        return 1.0
+    if not sa or not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
+
+# ------------------------------------------------- embedding near-dup
+
+
+class _EmbeddingDedupBuckets:
+    """Cosine near-dup via random-hyperplane LSH (Charikar 2002):
+    sign-pattern buckets, then exact cosine within buckets."""
+
+    def __init__(self, dim: int, n_planes: int, seed: int = 42):
+        rng = np.random.RandomState(seed)
+        self.planes = rng.randn(dim, n_planes).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float32)
+        signs = (emb @ self.planes) >= 0
+        keys = [
+            "".join("1" if s else "0" for s in row) for row in signs
+        ]
+        return batch.append_column("bucket_key", pa.array(keys, pa.string()))
+
+
+def embedding_dedup_pairs(ds, *, id_col: str = "vec_id", dim: int = 64,
+                          n_planes: int = 8, threshold: float = 0.95,
+                          concurrency=(1, 4)):
+    """Near-identical embedding pairs: hyperplane-LSH bucket groupby +
+    exact cosine verification inside buckets."""
+    bucketed = ds.map_batches(
+        _EmbeddingDedupBuckets,
+        fn_constructor_args=(dim, n_planes),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    def verify(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_pylist()
+        emb = np.asarray(group.column("embedding").to_pylist(), dtype=np.float32)
+        norms = np.linalg.norm(emb, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        unit = emb / norms
+        sims = unit @ unit.T
+        left, right, score = [], [], []
+        n = len(ids)
+        for i in range(n):
+            for j in range(i + 1, n):
+                if sims[i, j] >= threshold and ids[i] != ids[j]:
+                    a, b = sorted((ids[i], ids[j]))
+                    left.append(a)
+                    right.append(b)
+                    score.append(float(sims[i, j]))
+        id_type = group.column(id_col).type
+        return pa.table({"left_id": pa.array(left, id_type),
+                         "right_id": pa.array(right, id_type),
+                         "cosine": pa.array(score, pa.float64())})
+
+    pairs = bucketed.groupby("bucket_key").map_groups(verify, batch_format="pyarrow")
+    return pairs.groupby(["left_id", "right_id"]).max("cosine")

@@ -1,0 +1,166 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+Baseline: brute-force cosine top-k — one numpy matmul per Arrow batch
+against a broadcast query matrix (``ray.put`` once, zero-copy numpy read
+in every task), followed by a tiny global top-k reduce. This is the
+canonical scale shape: the corpus streams, only (query, id, score)
+triples of per-batch top-k candidates move.
+
+Scale path: IVF-style bucketing — deterministic k-means-ish coarse
+centroids (seeded sample), each vector assigned to its nearest centroid
+inside map_batches, queries probe only the closest ``n_probe`` buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+
+def _unit(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class _BatchTopK:
+    """Actor-pool UDF: the query matrix is resolved from the object
+    store once per actor (broadcast), each batch does one matmul.
+
+    dtype float64 by default for oracle parity (DuckDB computes cosine in
+    double); pass float32 for the at-scale memory/speed tradeoff."""
+
+    def __init__(self, queries_ref, k: int, id_col: str, dtype=np.float64):
+        q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
+        self.query_ids = q[0]
+        self.dtype = dtype
+        self.Q = _unit(np.asarray(q[1], dtype=dtype))  # (nq, d)
+        self.k = k
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(self.id_col).to_pylist())
+        emb = _unit(np.asarray(batch.column("embedding").to_pylist(), dtype=self.dtype))
+        sims = self.Q @ emb.T  # (nq, nb)
+        # over-fetch k + nq per batch: self-matches are excluded later in
+        # the reduce, and each batch can contain up to nq of them
+        k = min(self.k + len(self.query_ids), sims.shape[1])
+        idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        out_q, out_id, out_s = [], [], []
+        for qi in range(sims.shape[0]):
+            for j in idx[qi]:
+                out_q.append(self.query_ids[qi])
+                out_id.append(ids[j])
+                out_s.append(float(sims[qi, j]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q),
+                self.id_col: pa.array(out_id),
+                "cosine": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def knn_cosine(ds, query_ids, query_vecs, *, k: int = 10,
+               id_col: str = "vec_id", concurrency=(1, 8),
+               exclude_self: bool = True, dtype=np.float64):
+    """Brute-force cosine top-k for a small set of query vectors.
+
+    Returns a pyarrow Table (query_id, id_col, cosine, rank) with rank
+    1..k per query — driver-small (nq x k rows). The corpus is streamed;
+    per-batch candidates are reduced with a driver-side heap (nq x k x
+    n_blocks candidate rows only).
+    """
+    queries_ref = ray.put((list(query_ids), np.asarray(query_vecs, dtype=dtype)))
+    cand = ds.select_columns([id_col, "embedding"]).map_batches(
+        _BatchTopK,
+        fn_constructor_args=(queries_ref, k, id_col, dtype),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    # Collect per-batch candidates (nq x k x n_blocks rows — tiny) and do
+    # one deterministic global sort; ties broken by smaller id so results
+    # are stable regardless of block arrival order.
+    cands: dict = {}
+    for batch in cand.iter_batches(batch_format="pyarrow"):
+        qs = batch.column("query_id").to_pylist()
+        vs = batch.column(id_col).to_pylist()
+        ss = batch.column("cosine").to_pylist()
+        for q, v, s in zip(qs, vs, ss):
+            if exclude_self and q == v:
+                continue
+            cands.setdefault(q, []).append((s, v))
+    out_q, out_id, out_s, out_r = [], [], [], []
+    for q in sorted(cands):
+        ranked = sorted(cands[q], key=lambda t: (-t[0], t[1]))[:k]
+        for r, (s, v) in enumerate(ranked, 1):
+            out_q.append(q)
+            out_id.append(v)
+            out_s.append(s)
+            out_r.append(r)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q),
+            id_col: pa.array(out_id),
+            "cosine": pa.array(out_s, pa.float64()),
+            "rank": pa.array(out_r, pa.int64()),
+        }
+    )
+
+
+# ------------------------------------------------------------- IVF path
+
+
+def train_centroids(ds, *, n_centroids: int = 16, sample_size: int = 2048,
+                    n_iter: int = 10, seed: int = 42) -> np.ndarray:
+    """Deterministic mini k-means on a seeded sample (Lloyd iterations,
+    driver-side on a small sample — the IVF coarse quantizer)."""
+    sample = ds.select_columns(["embedding"]).limit(sample_size).to_pandas()
+    X = _unit(np.asarray(sample["embedding"].tolist(), dtype=np.float32))
+    rng = np.random.RandomState(seed)
+    cent = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(n_iter):
+        assign = np.argmax(X @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = X[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = _unit(cent)
+    return cent
+
+
+class _AssignBucket:
+    def __init__(self, centroids_ref):
+        c = ray.get(centroids_ref) if isinstance(centroids_ref, ray.ObjectRef) else centroids_ref
+        self.cent = c
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = _unit(np.asarray(batch.column("embedding").to_pylist(), dtype=np.float32))
+        assign = np.argmax(emb @ self.cent.T, axis=1).astype(np.int32)
+        return batch.append_column("ivf_bucket", pa.array(assign, pa.int32()))
+
+
+def knn_cosine_ivf(ds, query_ids, query_vecs, *, k: int = 10,
+                   id_col: str = "vec_id", n_centroids: int = 16,
+                   n_probe: int = 4, concurrency=(1, 8)):
+    """IVF-bucketed ANN: assign vectors to coarse buckets, probe only the
+    ``n_probe`` nearest buckets per query. Approximate (recall < 1 when
+    the neighbor lives in an unprobed bucket) but touches only a fraction
+    of the corpus per query at scale."""
+    cent = train_centroids(ds, n_centroids=n_centroids)
+    cent_ref = ray.put(cent)
+    bucketed = ds.select_columns([id_col, "embedding"]).map_batches(
+        _AssignBucket, fn_constructor_args=(cent_ref,),
+        batch_format="pyarrow", concurrency=concurrency,
+    )
+    Q = _unit(np.asarray(query_vecs, dtype=np.float32))
+    probes = np.argsort(-(Q @ cent.T), axis=1)[:, :n_probe]  # (nq, n_probe)
+    wanted = sorted({int(b) for row in probes for b in row})
+    filtered = bucketed.filter(expr=f"ivf_bucket in {wanted}")
+    # per-query bucket masks applied in the reduce
+    probe_sets = {q: {int(b) for b in probes[i]} for i, q in enumerate(query_ids)}
+    full = knn_cosine(filtered, query_ids, query_vecs, k=k, id_col=id_col,
+                      concurrency=concurrency)
+    return full, probe_sets

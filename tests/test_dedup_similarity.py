@@ -1,0 +1,186 @@
+"""Dedup / similarity / textstats operator tests with planted ground truth."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from doc_parser_ray.functions.textstats import (
+    count_tokens,
+    count_tokens_fallback,
+    detect_language,
+    fingerprint,
+    normalize_for_dedup,
+    quality_stats,
+)
+from doc_parser_ray.stages.dedup import (
+    embedding_dedup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard,
+    simhash64,
+    simhash_pairs,
+)
+from doc_parser_ray.stages.similarity import knn_cosine, knn_cosine_ivf
+from doc_parser_ray.util import collect_table
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the rain falls on "
+    "the quiet town and the river runs past the old stone bridge"
+)
+
+
+def _doc_table():
+    texts = [
+        BASE,
+        BASE,  # exact dup of 0
+        "  THE  quick brown fox jumps over the lazy dog while the rain falls on "
+        "the quiet town and the river runs past the old stone bridge ",  # normalized dup of 0
+        BASE.replace("lazy", "sleepy"),  # near-dup (1 word changed)
+        "completely different content about distributed data processing "
+        "engines and arrow record batches streaming through object stores",
+        "another unrelated text mentioning gradient descent optimizers and "
+        "learning rate schedules for large model training runs today",
+    ]
+    return pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDedup:
+    def test_exact_dedup_min_id_wins(self):
+        ds = ray.data.from_arrow(_doc_table())
+        out = collect_table(exact_dedup(ds)).to_pydict()
+        survivors = sorted(out["min(doc_id)"])
+        # 0,1,2 collapse to 0; 3,4,5 survive
+        assert survivors == [0, 3, 4, 5]
+
+    def test_minhash_finds_near_dup(self):
+        ds = ray.data.from_arrow(_doc_table())
+        pairs = collect_table(
+            minhash_lsh_pairs(ds, num_perm=64, bands=16, k=3, threshold=0.5)
+        )
+        got = {(l, r) for l, r in zip(pairs.column("left_id").to_pylist(),
+                                      pairs.column("right_id").to_pylist())}
+        # all of {0,1,2} pairwise + the near-dup 3 linked to them
+        assert (0, 1) in got and (0, 2) in got and (1, 2) in got
+        assert (0, 3) in got
+        # unrelated docs never pair
+        assert not any(4 in p or 5 in p for p in got)
+
+    def test_simhash_near_dup(self):
+        ds = ray.data.from_arrow(_doc_table())
+        pairs = collect_table(simhash_pairs(ds, max_hamming=6))
+        got = {(l, r) for l, r in zip(pairs.column("left_id").to_pylist(),
+                                      pairs.column("right_id").to_pylist())}
+        assert (0, 1) in got and (0, 2) in got
+        assert not any((4 in p or 5 in p) for p in got)
+
+    def test_simhash_identical_for_normalized_texts(self):
+        assert simhash64(BASE) == simhash64("  " + BASE.upper() + "  ")
+
+    def test_ngram_jaccard(self):
+        assert ngram_jaccard(BASE, BASE) == 1.0
+        assert ngram_jaccard(BASE, "xyz abc def") == 0.0
+        mid = ngram_jaccard(BASE, BASE.replace("lazy", "sleepy"))
+        assert 0.5 < mid < 1.0
+
+    def test_embedding_dedup(self):
+        rng = np.random.RandomState(0)
+        base = rng.randn(8, 16).astype(np.float32)
+        vecs = np.vstack([base, base[0] + 0.001 * rng.randn(16).astype(np.float32)])
+        tab = pa.table({
+            "vec_id": pa.array(range(9), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+        })
+        ds = ray.data.from_arrow(tab)
+        pairs = collect_table(
+            embedding_dedup_pairs(ds, id_col="vec_id", dim=16, n_planes=4,
+                                  threshold=0.99)
+        )
+        got = {(l, r) for l, r in zip(pairs.column("left_id").to_pylist(),
+                                      pairs.column("right_id").to_pylist())}
+        assert (0, 8) in got
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSimilarity:
+    def _dataset(self, n=200, d=32, seed=3):
+        rng = np.random.RandomState(seed)
+        vecs = rng.randn(n, d)
+        tab = pa.table({
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+        })
+        return ray.data.from_arrow(tab), vecs
+
+    def test_knn_matches_numpy_bruteforce(self):
+        ds, vecs = self._dataset()
+        # queries read back from the dataset (float32-rounded like the corpus)
+        stored = np.asarray(
+            collect_table(ds).column("embedding").to_pylist(), dtype=np.float64
+        )
+        q = stored[:3]
+        out = knn_cosine(ds, [0, 1, 2], q, k=5).to_pydict()
+
+        unit = stored / np.linalg.norm(stored, axis=1, keepdims=True)
+        qu = q / np.linalg.norm(q, axis=1, keepdims=True)
+        sims = qu @ unit.T
+        for qi in range(3):
+            s = sims[qi].copy()
+            s[qi] = -np.inf  # exclude self
+            want = list(np.argsort(-s)[:5])
+            got = [v for qq, v in zip(out["query_id"], out["vec_id"]) if qq == qi]
+            assert got == want
+
+    def test_knn_ivf_high_recall(self):
+        ds, _ = self._dataset(n=400)
+        stored = np.asarray(
+            collect_table(ds).column("embedding").to_pylist(), dtype=np.float64
+        )
+        q = stored[:2]
+        exact = knn_cosine(ds, [0, 1], q, k=10).to_pydict()
+        approx, _probes = knn_cosine_ivf(ds, [0, 1], q, k=10, n_centroids=8,
+                                         n_probe=4)
+        approx = approx.to_pydict()
+        for qi in (0, 1):
+            e = {v for qq, v in zip(exact["query_id"], exact["vec_id"]) if qq == qi}
+            a = {v for qq, v in zip(approx["query_id"], approx["vec_id"]) if qq == qi}
+            recall = len(e & a) / len(e)
+            assert recall >= 0.5, f"query {qi} recall {recall}"
+
+
+class TestTextStats:
+    def test_counts(self):
+        assert count_tokens("hello world") == 2
+        assert count_tokens("hello, world!") == 4  # punct runs count
+        assert count_tokens_fallback("a b c") == int(3 * 1.3)
+
+    def test_quality(self):
+        s = quality_stats("The cat sat on the mat 42 times.")
+        assert s["n_words"] == 8.0
+        assert s["digit_ratio"] > 0
+        assert 0 < s["stopword_ratio"] < 1
+
+    def test_lang_detect(self):
+        assert detect_language("the cat is on the mat and it is happy") == "en"
+        assert detect_language("el gato está en la casa y no quiere salir") == "es"
+        assert detect_language("le chat est dans la maison et il ne veut pas") == "fr"
+        assert detect_language("der Hund ist in dem Haus und er will nicht") == "de"
+        assert detect_language("这是一个中文句子的测试文本内容") == "zh"
+        assert detect_language("") == "und"
+
+    def test_fingerprint_stability(self):
+        assert fingerprint(BASE) == fingerprint("  " + BASE.upper() + " ")
+        # appending text MAY keep the min-window (winnowing semantics);
+        # different content must differ
+        assert fingerprint(BASE) != fingerprint(
+            "entirely different words about tensors and gradients flowing"
+        )
+        assert fingerprint("") == 0
+
+    def test_normalize(self):
+        assert normalize_for_dedup("  A  b\t c\n") == "a b c"
