@@ -38,14 +38,21 @@ TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 
 
 def extract_transcripts(ds, *, assemble: bool = True,
-                        salt_bucket_turns: int | None = None):
-    """Dataset of transcript rows → Dataset of extracted rows."""
+                        salt_bucket_turns: int | None = None,
+                        num_partitions: int = 64):
+    """Dataset of transcript rows → Dataset of extracted rows.
+
+    ``num_partitions`` bounds the reduce side of the one keyed shuffle
+    (stages/assemble.py); size it ≈ total cores of the cluster.
+    """
     out = apply_extract(ds)
     if assemble:
         if salt_bucket_turns:
-            out = assemble_conversations_salted(out, salt_bucket_turns)
+            out = assemble_conversations_salted(
+                out, salt_bucket_turns, num_partitions=num_partitions
+            )
         else:
-            out = assemble_conversations(out)
+            out = assemble_conversations(out, num_partitions=num_partitions)
     return out
 
 

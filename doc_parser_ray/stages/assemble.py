@@ -1,162 +1,213 @@
 """Conversation assembly: stable turn ordering + per-conversation counters.
 
 The reference's per-document assembly (ReadingOrderModel, a per-document
-reduce over pages — docling/models/readingorder_model.py; chunk counters
-— facade ``compose_vectors`` per-doc counters,
+reduce over pages — docling/models/readingorder_model.py; per-doc chunk
+counters — facade ``compose_vectors``,
 genon/preprocessor/facade/intelligent_processor.py:1222-1304) becomes a
-keyed shuffle here: the ONE wide operation of the pipeline, keyed on
-``conv_id`` and reused for every order-sensitive step.
+keyed exchange here: the ONE wide operation of the pipeline, keyed on
+``conv_id``.
 
-Two strategies:
+Design notes (scale):
 
-1. ``assemble_conversations`` — ``groupby(conv_id).map_groups`` with an
-   explicit in-group ``sort_by(turn_idx)``. Correct for bounded
-   conversations; one task per group batch.
+- A naive ``groupby(conv_id).map_groups(fn)`` invokes Python once per
+  conversation — milliseconds of overhead x millions of tiny groups
+  dominates wall time (measured 30k groups ≈ 150 s at sf0.1). Instead we
+  group by a BOUNDED hash-partition key (``num_partitions`` groups) and
+  compute all per-conversation ranks/counters VECTORIZED (numpy) inside
+  each partition. Python-call overhead is O(partitions), not O(convs).
 
-2. ``assemble_conversations_salted`` — explicit skew handling for
-   Zipf-heavy conversation sizes (a 5k-turn conversation must not pin a
-   single reducer): the group key is salted with
-   ``salt = turn_idx // salt_bucket_turns``, which both bounds reducer
-   input AND aligns bucket order with turn order, so global per-conv
-   counters are restored with a second, tiny reduce over per-bucket
-   aggregates that is broadcast back via ``ray.put`` (small-side lookup,
-   not a second all-to-all shuffle).
+- ``assemble_conversations``: partition key = hash(conv_id) % P → every
+  conversation lands wholly in one partition; ranks, totals and char
+  sums are derived in-partition. Handles any conversation that fits a
+  reducer.
+
+- ``assemble_conversations_salted``: explicit skew handling — the key
+  adds ``salt = turn_idx // salt_bucket_turns``, so a single giant
+  conversation spreads over many partitions while each (conv, salt)
+  bucket stays intact. Global counters are restored from a driver-small
+  per-bucket aggregate ((conv, salt) → count/chars) broadcast via
+  ``ray.put`` — a small-side lookup, not a second all-to-all. The
+  upstream Dataset is materialized once so extraction isn't recomputed
+  for the aggregate pass.
 
 Output adds to each extracted row:
-  - ``turn_ord``   : int32 dense rank of the turn within its conversation
-                     (0-based, ordered by turn_idx) — the stable ordering
-                     the north rule requires;
-  - ``n_turns_of_conv`` : int32 (forward-looking total, the analog of
-                     ``n_chunk_of_doc`` — intelligent_processor.py:1292);
-  - ``conv_n_chars_out`` : int64 total extracted chars of the conversation.
+  - ``turn_ord``        : int32 dense rank within the conversation
+                          (0-based, by turn_idx) — stable ordering;
+  - ``n_turns_of_conv`` : int32 forward-looking total (analog of
+                          ``n_chunk_of_doc``, intelligent_processor.py:1292);
+  - ``conv_n_chars_out``: int64 total extracted chars of the conversation.
 """
 
 from __future__ import annotations
 
+import zlib
+
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray
 
-def _assemble_group(group: pa.Table) -> pa.Table:
-    """Sort one conversation by turn_idx and attach counters."""
-    group = group.sort_by([("turn_idx", "ascending")])
-    n = group.num_rows
-    total_chars = pc.sum(group.column("n_chars_out")).as_py() or 0
-    group = group.append_column("turn_ord", pa.array(range(n), pa.int32()))
-    group = group.append_column(
-        "n_turns_of_conv", pa.array([n] * n, pa.int32())
+_SALT_MIX = 0x9E3779B1  # Fibonacci hashing multiplier
+
+
+def _conv_hash(conv_ids: list[str]) -> np.ndarray:
+    return np.array([zlib.crc32(c.encode()) for c in conv_ids], dtype=np.uint64)
+
+
+def _add_pkey(batch: pa.Table, num_partitions: int,
+              salt_bucket_turns: int | None) -> pa.Table:
+    h = _conv_hash(batch.column("conv_id").to_pylist())
+    if salt_bucket_turns:
+        salt = (
+            batch.column("turn_idx").to_numpy(zero_copy_only=False)
+            // salt_bucket_turns
+        ).astype(np.uint64)
+        batch = batch.append_column("salt", pa.array(salt.astype(np.int32)))
+        h = h + salt * np.uint64(_SALT_MIX)
+    pkey = (h % np.uint64(num_partitions)).astype(np.int32)
+    return batch.append_column("pkey", pa.array(pkey))
+
+
+def _group_spans(sort_keys: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
+    """(group_id per row, start index per group) for pre-sorted key arrays."""
+    n = len(sort_keys[0])
+    change = np.zeros(n, dtype=bool)
+    change[0] = True
+    for k in sort_keys:
+        change[1:] |= k[1:] != k[:-1]
+    gid = np.cumsum(change) - 1
+    starts = np.flatnonzero(change)
+    return gid, starts
+
+
+def _assemble_partition(part: pa.Table) -> pa.Table:
+    """Vectorized per-conversation ranks/counters for all conversations
+    in one hash partition (no salt: convs are whole here)."""
+    part = part.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    n = part.num_rows
+    if n == 0:
+        return part.drop_columns(["pkey"])
+    conv = np.asarray(part.column("conv_id").to_pylist(), dtype=object)
+    gid, starts = _group_spans([conv])
+    idx = np.arange(n, dtype=np.int64)
+    local = idx - starts[gid]
+    counts = np.bincount(gid)
+    chars = part.column("n_chars_out").to_numpy(zero_copy_only=False)
+    char_sums = np.add.reduceat(chars, starts)
+    part = part.drop_columns(["pkey"])
+    part = part.append_column("turn_ord", pa.array(local.astype(np.int32)))
+    part = part.append_column(
+        "n_turns_of_conv", pa.array(counts[gid].astype(np.int32))
     )
-    group = group.append_column(
-        "conv_n_chars_out", pa.array([total_chars] * n, pa.int64())
+    part = part.append_column(
+        "conv_n_chars_out", pa.array(char_sums[gid].astype(np.int64))
     )
-    return group
+    return part
 
 
-def assemble_conversations(ds):
-    """Plain keyed assembly: one shuffle on conv_id."""
-    return ds.groupby("conv_id").map_groups(_assemble_group, batch_format="pyarrow")
-
-
-def _add_salt(batch: pa.Table, salt_bucket_turns: int) -> pa.Table:
-    salt = pc.cast(
-        pc.floor(pc.divide(pc.cast(batch.column("turn_idx"), pa.float64()), salt_bucket_turns)),
-        pa.int32(),
-    )
-    return batch.append_column("salt", salt)
-
-
-def _assemble_bucket(group: pa.Table) -> pa.Table:
-    """Phase-1 reducer: local order within one (conv_id, salt) bucket."""
-    group = group.sort_by([("turn_idx", "ascending")])
-    n = group.num_rows
-    local_chars = pc.sum(group.column("n_chars_out")).as_py() or 0
-    group = group.append_column("local_ord", pa.array(range(n), pa.int32()))
-    group = group.append_column("bucket_n", pa.array([n] * n, pa.int32()))
-    group = group.append_column("bucket_chars", pa.array([local_chars] * n, pa.int64()))
-    return group
-
-
-class _FinalizeCounters:
-    """Phase-2 map: turn bucket-local ranks into global per-conv counters
-    using the broadcast (conv_id, salt) → (offset, n_turns, n_chars)
-    table. The lookup object is put in the object store ONCE and read
-    zero-copy by every task (broadcast join, not a shuffle join)."""
-
-    def __init__(self, lookup):
-        # constructor args are shipped through the object store once per
-        # actor by Ray (an ObjectRef here triggers a restartability
-        # warning, see ray#53727 — the plain value is the same cost)
-        self.offsets, self.totals, self.chars = lookup
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        conv_ids = batch.column("conv_id").to_pylist()
-        salts = batch.column("salt").to_pylist()
-        local = batch.column("local_ord").to_pylist()
-        ords = [
-            self.offsets[(c, s)] + lo for c, s, lo in zip(conv_ids, salts, local)
-        ]
-        n_turns = [self.totals[c] for c in conv_ids]
-        n_chars = [self.chars[c] for c in conv_ids]
-        batch = batch.drop_columns(["salt", "local_ord", "bucket_n", "bucket_chars"])
-        batch = batch.append_column("turn_ord", pa.array(ords, pa.int32()))
-        batch = batch.append_column("n_turns_of_conv", pa.array(n_turns, pa.int32()))
-        batch = batch.append_column("conv_n_chars_out", pa.array(n_chars, pa.int64()))
-        return batch
-
-
-def assemble_conversations_salted(ds, salt_bucket_turns: int = 256):
-    """Skew-safe assembly: salted shuffle + tiny second reduce + broadcast.
-
-    Reducer input is bounded by ``salt_bucket_turns`` rows per group no
-    matter how long a conversation is. The per-bucket aggregate table is
-    ~(#convs x #buckets-per-conv) rows — driver-small — and is shipped to
-    finalize tasks through ``ray.put`` once.
-    """
+def assemble_conversations(ds, num_partitions: int = 64):
+    """Keyed assembly: one shuffle into ``num_partitions`` hash
+    partitions, vectorized in-partition computation."""
     ds = ds.map_batches(
-        lambda b: _add_salt(b, salt_bucket_turns),
+        lambda b: _add_pkey(b, num_partitions, None),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    bucketed = ds.groupby(["conv_id", "salt"]).map_groups(
-        _assemble_bucket, batch_format="pyarrow"
+    return ds.groupby("pkey").map_groups(
+        _assemble_partition, batch_format="pyarrow"
     )
-    # Streaming halts here by necessity: counters need every bucket's size.
-    # The materialized set is the full extracted table (same size as the
-    # output); the *aggregate* pulled to the driver is only
-    # (conv_id, salt, n, chars) — tiny.
-    bucketed = bucketed.materialize()
 
+
+def _make_salted_assembler(lookup_ref):
+    """Partition fn: vectorized bucket-local ranks + global counters from
+    the broadcast (offsets, totals, chars) lookup (resolved zero-copy
+    from the local object store, cached per worker)."""
+
+    def assemble(part: pa.Table) -> pa.Table:
+        offsets, totals, chars = ray.get(lookup_ref)
+        part = part.sort_by(
+            [("conv_id", "ascending"), ("salt", "ascending"),
+             ("turn_idx", "ascending")]
+        )
+        n = part.num_rows
+        if n == 0:
+            return part.drop_columns(["pkey", "salt"])
+        conv = np.asarray(part.column("conv_id").to_pylist(), dtype=object)
+        salt = part.column("salt").to_numpy(zero_copy_only=False)
+        gid, starts = _group_spans([conv, salt])
+        idx = np.arange(n, dtype=np.int64)
+        local = idx - starts[gid]
+        # one Python lookup per bucket (not per row)
+        base = np.array(
+            [offsets[(conv[s], int(salt[s]))] for s in starts], dtype=np.int64
+        )
+        tot = np.array([totals[conv[s]] for s in starts], dtype=np.int64)
+        chr_ = np.array([chars[conv[s]] for s in starts], dtype=np.int64)
+        part = part.drop_columns(["pkey", "salt"])
+        part = part.append_column(
+            "turn_ord", pa.array((base[gid] + local).astype(np.int32))
+        )
+        part = part.append_column(
+            "n_turns_of_conv", pa.array(tot[gid].astype(np.int32))
+        )
+        part = part.append_column(
+            "conv_n_chars_out", pa.array(chr_[gid].astype(np.int64))
+        )
+        return part
+
+    return assemble
+
+
+def assemble_conversations_salted(ds, salt_bucket_turns: int = 256,
+                                  num_partitions: int = 64):
+    """Skew-safe assembly: salted hash partitions + broadcast counter
+    lookup. A conversation larger than ``salt_bucket_turns`` spreads
+    across partitions; reducer input stays balanced regardless of
+    conversation-size skew."""
+    ds = ds.map_batches(
+        lambda b: _add_pkey(b, num_partitions, salt_bucket_turns),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    # one materialization so extraction isn't recomputed for the
+    # aggregate pass; blocks stay in the (spillable) object store
+    ds = ds.materialize()
+
+    # per-bucket aggregate WITHOUT a second all-to-all: each batch emits a
+    # tiny (conv_id, salt, n, chars) partial (pre-aggregated inside
+    # map_batches — the combiner pattern), combined driver-side. The
+    # partial result is ~one row per (conv, salt) bucket per block —
+    # driver-small by construction since bucket size is bounded.
+    def _partial_agg(batch: pa.Table) -> pa.Table:
+        sub = batch.select(["conv_id", "salt", "n_chars_out"])
+        return pa.TableGroupBy(sub, ["conv_id", "salt"]).aggregate(
+            [("n_chars_out", "count"), ("n_chars_out", "sum")]
+        ).rename_columns(["conv_id", "salt", "bucket_n", "bucket_chars"])
+
+    parts = ds.map_batches(
+        _partial_agg, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
     agg = (
-        bucketed.select_columns(["conv_id", "salt", "bucket_n", "bucket_chars"])
-        .groupby(["conv_id", "salt"])
-        .max("bucket_n")
-        .to_pandas()
+        parts.groupby(["conv_id", "salt"], as_index=False)[
+            ["bucket_n", "bucket_chars"]
+        ]
+        .sum()
+        .sort_values(["conv_id", "salt"])
     )
-    # bucket sizes are constant within a bucket → max == the size.
-    chars_agg = (
-        bucketed.select_columns(["conv_id", "salt", "bucket_chars"])
-        .groupby(["conv_id", "salt"])
-        .max("bucket_chars")
-        .to_pandas()
-    )
-
-    agg = agg.sort_values(["conv_id", "salt"])
     offsets: dict = {}
-    totals: dict = {}
     running: dict = {}
-    for conv_id, salt, bn in zip(agg["conv_id"], agg["salt"], agg["max(bucket_n)"]):
-        off = running.get(conv_id, 0)
-        offsets[(conv_id, salt)] = off
-        running[conv_id] = off + int(bn)
-    totals = {c: int(v) for c, v in running.items()}
     chars: dict = {}
-    for conv_id, bc in zip(chars_agg["conv_id"], chars_agg["max(bucket_chars)"]):
+    for conv_id, salt, bn, bc in zip(
+        agg["conv_id"], agg["salt"], agg["bucket_n"], agg["bucket_chars"]
+    ):
+        off = running.get(conv_id, 0)
+        offsets[(conv_id, int(salt))] = off
+        running[conv_id] = off + int(bn)
         chars[conv_id] = chars.get(conv_id, 0) + int(bc)
+    totals = {c: int(v) for c, v in running.items()}
 
-    return bucketed.map_batches(
-        _FinalizeCounters,
-        fn_constructor_args=((offsets, totals, chars),),
-        batch_format="pyarrow",
-        concurrency=(1, 8),
-        zero_copy_batch=True,
+    lookup_ref = ray.put((offsets, totals, chars))
+    return ds.groupby("pkey").map_groups(
+        _make_salted_assembler(lookup_ref), batch_format="pyarrow"
     )
