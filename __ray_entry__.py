@@ -110,7 +110,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_prefix": T.dedup_prefix,
         "dedup_minhash": T.dedup_minhash,
         "dedup_simhash": T.dedup_simhash,
+        "dedup_ngram": T.dedup_ngram,
         "dedup_embedding": T.dedup_embedding,
+        # chunking (C1-C5)
+        "chunk_transcripts": T.chunk_transcripts,
         # text analysis
         "text_tokens": T.text_tokens,
         "text_quality": T.text_quality,
@@ -118,6 +121,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": T.doc_fingerprints,
         # similarity search
         "knn_cosine": T.knn_documents,
+        "knn_ivf": T.knn_documents_ivf,
+        # multimodal (decode / resize / frame-sample / features)
+        "media_decode": T.media_decode,
+        "media_pipeline": T.media_pipeline,
     }
 
 
@@ -210,6 +217,63 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), 1, 40)
             ORDER BY doc_id
+        """,
+        "dedup_ngram": r"""
+            WITH d AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\s+') AS w
+                FROM documents
+                WHERE trim(text) <> ''
+            ),
+            s AS (
+                SELECT doc_id,
+                       CASE WHEN len(w) < 3
+                            THEN [array_to_string(w, ' ')]
+                            ELSE list_distinct(list_transform(
+                                generate_series(1, len(w) - 2),
+                                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                       END AS sh
+                FROM d
+            ),
+            p AS (
+                SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                       len(list_intersect(a.sh, b.sh))::DOUBLE /
+                       (len(a.sh) + len(b.sh)
+                        - len(list_intersect(a.sh, b.sh))) AS j
+                FROM s a JOIN s b ON a.doc_id < b.doc_id
+            )
+            SELECT left_id, right_id,
+                   CAST(FLOOR(j * 10000.0 + 0.5) AS BIGINT) AS jaccard_e4
+            FROM p WHERE j >= 0.5
+            ORDER BY left_id, right_id
+        """,
+        "media_decode": """
+            WITH m AS (SELECT range AS media_id FROM range(300))
+            SELECT media_id,
+                   CASE media_id % 3 WHEN 0 THEN 'image'
+                        WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                   CAST(CASE media_id % 3
+                        WHEN 0 THEN 12 + (16 + (media_id % 32) * 8)
+                                      * (16 + ((media_id * 7) % 32) * 8)
+                        WHEN 1 THEN 12 + 1000 + (media_id % 100) * 37
+                        ELSE 16 + (4 + media_id % 28) * 32 * 24 END
+                        AS BIGINT) AS n_bytes,
+                   CAST(CASE media_id % 3
+                        WHEN 0 THEN 16 + (media_id % 32) * 8
+                        WHEN 1 THEN 0 ELSE 32 END AS INTEGER) AS width,
+                   CAST(CASE media_id % 3
+                        WHEN 0 THEN 16 + ((media_id * 7) % 32) * 8
+                        WHEN 1 THEN 0 ELSE 24 END AS INTEGER) AS height,
+                   CAST(CASE media_id % 3
+                        WHEN 1 THEN 8000 + (media_id % 4) * 4000
+                        ELSE 0 END AS INTEGER) AS sample_rate,
+                   CAST(CASE media_id % 3
+                        WHEN 1 THEN 1000 + (media_id % 100) * 37
+                        ELSE 0 END AS INTEGER) AS n_samples,
+                   CAST(CASE media_id % 3
+                        WHEN 2 THEN 4 + media_id % 28
+                        ELSE 0 END AS INTEGER) AS n_frames
+            FROM m ORDER BY media_id
         """,
         "text_tokens": r"""
             SELECT doc_id,

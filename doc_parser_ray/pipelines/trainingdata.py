@@ -27,6 +27,7 @@ from doc_parser_ray.stages.dedup import (
     add_exact_key,
     exact_dedup,
     minhash_lsh_pairs,
+    ngram_jaccard_pairs,
     simhash_pairs,
     embedding_dedup_pairs,
 )
@@ -103,6 +104,25 @@ def dedup_simhash(sf_dir: str) -> pa.Table:
                           max_hamming=3)
     tab = _collect_pairs(pairs, ["left_id", "right_id", "hamming"],
                          [pa.int64(), pa.int64(), pa.int64()])
+    return tab.sort_by([("left_id", "ascending"), ("right_id", "ascending")])
+
+
+def dedup_ngram(sf_dir: str, threshold: float = 0.5) -> pa.Table:
+    """EXACT word-trigram Jaccard pairs via the shared-shingle inverted
+    index (full recall) — SQL-verifiable, unlike the MinHash estimate.
+    jaccard is emitted fixed-point (floor(j*1e4+0.5)) for cross-engine
+    hash parity."""
+    pairs = ngram_jaccard_pairs(
+        _docs(sf_dir), id_col="doc_id", text_col="text", k=3,
+        threshold=threshold,
+    )
+    tab = _collect_pairs(pairs, ["left_id", "right_id", "jaccard"],
+                         [pa.int64(), pa.int64(), pa.float64()])
+    e4 = pc.cast(
+        pc.floor(pc.add(pc.multiply(tab.column("jaccard"), 10000.0), 0.5)),
+        pa.int64(),
+    )
+    tab = tab.remove_column(2).append_column("jaccard_e4", e4)
     return tab.sort_by([("left_id", "ascending"), ("right_id", "ascending")])
 
 
@@ -229,6 +249,118 @@ def knn_documents(sf_dir: str, n_queries: int = 5, k: int = 10) -> pa.Table:
     )
     tab = tab.remove_column(idx)
     return tab.append_column("cosine_e3", e3)
+
+
+# ----------------------------------------------------------- chunking
+
+
+def chunk_transcripts(sf_dir: str, max_tokens: int = 120) -> pa.Table:
+    """Reference chunker family (C1–C5) over extracted synthetic
+    transcripts: token-bounded chunks with heading context, per-turn and
+    per-conversation positional counters. Heuristic token estimate → no
+    SQL oracle; invariants covered by unit tests."""
+    from doc_parser_ray.stages.chunk import (
+        assemble_chunk_counters,
+        chunk_turns,
+    )
+    from doc_parser_ray.stages.extract import apply_extract
+    from doc_parser_ray.sources.transcripts import transcripts_dataset
+
+    ds = transcripts_dataset(n_convs=100, seed=42, max_turns=60)
+    chunks = chunk_turns(apply_extract(ds), max_tokens=max_tokens)
+    out = assemble_chunk_counters(chunks, num_partitions=16)
+    tab = _collect(out)
+    return tab.sort_by(
+        [("conv_id", "ascending"), ("chunk_ord", "ascending")]
+    )
+
+
+def knn_documents_ivf(sf_dir: str, n_queries: int = 5, k: int = 10) -> pa.Table:
+    """IVF-bucketed approximate top-k — the scale path: centroids from a
+    driver-side sample, cluster assignment + per-bucket scoring inside
+    map_batches, only ``n_probe`` buckets scanned per query. Approximate
+    → no SQL oracle; recall vs brute force is unit-tested."""
+    import pyarrow.parquet as pq
+
+    from doc_parser_ray.stages.similarity import knn_cosine_ivf
+
+    head = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"]).slice(0, n_queries)
+    qids = head.column("vec_id").to_pylist()
+    qvecs = head.column("embedding").to_pylist()
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    tab, _probes = knn_cosine_ivf(ds, qids, qvecs, k=k, id_col="vec_id",
+                                  n_centroids=16, n_probe=4)
+    idx = tab.column_names.index("cosine")
+    e3 = pc.cast(
+        pc.floor(pc.add(pc.multiply(tab.column("cosine"), 1000.0), 0.5)),
+        pa.int64(),
+    )
+    tab = tab.remove_column(idx)
+    return tab.append_column("cosine_e3", e3)
+
+
+# ----------------------------------------------------------- media
+
+
+def media_decode(sf_dir: str, n: int = 300) -> pa.Table:
+    """Multimodal decode stage end-to-end: synthesize opaque binary
+    media payloads, parse them in the actor-pool decode stage, return
+    typed metadata. The SQL oracle recomputes every column from the
+    generator's id-formulas — the decoded bytes must round-trip to the
+    formulas exactly."""
+    from doc_parser_ray.sources.media_gen import media_dataset
+    from doc_parser_ray.stages.media import decode_media
+
+    out = decode_media(media_dataset(n), batch_size=64, concurrency=(1, 4))
+    tab = _collect(out).select(
+        ["media_id", "kind", "n_bytes", "width", "height",
+         "sample_rate", "n_samples", "n_frames"]
+    )
+    return tab.sort_by([("media_id", "ascending")])
+
+
+def media_pipeline(sf_dir: str, n: int = 150) -> pa.Table:
+    """Composed multimodal pipeline: video rows → frame-sample →
+    resize → feature-extract (actor pools throughout); image rows →
+    resize → features. Returns per-media feature summaries (rows-only
+    check: deterministic but not SQL-expressible)."""
+    import pyarrow.compute as _pc
+
+    from doc_parser_ray.sources.media_gen import media_dataset
+    from doc_parser_ray.stages.media import (
+        media_features,
+        resize_images,
+        sample_frames,
+    )
+
+    ds = media_dataset(n)
+    images = ds.filter(expr="kind == 'image'")
+    videos = ds.filter(expr="kind == 'video'")
+    img_feats = media_features(resize_images(images, 32, 32))
+    frame_feats = media_features(
+        resize_images(sample_frames(videos, every_k=4), 16, 16)
+    )
+    tabs = [_collect(img_feats.select_columns(["media_id", "features"])),
+            _collect(frame_feats.select_columns(["media_id", "features"]))]
+    tabs = [t for t in tabs if t.num_rows]
+    merged = pa.concat_tables(tabs)
+    # summarize: feature argmax bin + count per media row
+    feats = merged.column("features").to_pylist()
+    import numpy as np
+
+    argmax = [int(np.argmax(f)) if f else -1 for f in feats]
+    out = pa.table(
+        {
+            "media_id": merged.column("media_id"),
+            "feat_argmax": pa.array(argmax, pa.int32()),
+        }
+    )
+    out = pa.TableGroupBy(out, "media_id").aggregate(
+        [("feat_argmax", "count"), ("feat_argmax", "min")]
+    ).rename_columns(["media_id", "n_feature_rows", "feat_argmax_min"])
+    return out.sort_by([("media_id", "ascending")])
 
 
 # ------------------------------------------- extraction round-trip

@@ -1,0 +1,288 @@
+"""Chunking stage: extracted items → token-bounded chunk records.
+
+Re-expresses the reference facade's chunker family
+(genon/preprocessor/facade/intelligent_processor.py):
+
+  C1 ``HierarchicalChunker``    — heading-by-level context dict, cleared
+                                  at-or-below on each new header (:276-282)
+  C3 ``_split_document_by_tokens`` — greedy accumulate items while the
+                                  chunk stays ≤ max_tokens (:553-748);
+                                  tables always form their own chunk;
+                                  oversize items split at a larger budget
+                                  (semchunk at 4096, :627-653); heading
+                                  context prepended to the chunk text
+                                  (:417-472, compose :1274)
+  C4 ``_merge_small_chunks``    — chunks < max_tokens//3 merge into the
+                                  following chunk while ≤ max (:750-856)
+  C5 ``compose_vectors``        — per-chunk n_char/n_word/n_line counters
+                                  (:921-927) and positional indices
+                                  (i_chunk_on_page / n_chunk_of_page /
+                                  i_chunk_on_doc, :1222-1304)
+
+Mapping to the transcript table: one *turn* plays the reference's
+*page* (intra-turn indices ``i_chunk_on_turn`` / ``n_chunk_of_turn``
+computed locally in the map task), one *conversation* plays the
+*document* (global ``i_chunk_on_conv`` / ``n_chunk_of_conv`` need the
+conv-keyed exchange — reuse stages/assemble.py with the chunk row's
+composite order key).
+
+Everything here is a stateless ``map_batches`` UDF: 1 extracted row →
+N chunk rows, no shuffle; the only wide step is the optional
+conversation-level counter pass.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+
+from doc_parser_ray.datamodel import SECTION_HEADER, TABLE, TITLE
+from doc_parser_ray.functions.textstats import count_tokens, n_lines, n_words
+
+CHUNK_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("chunk_idx", pa.int32()),        # i_chunk_on_turn (0-based)
+        ("n_chunk_of_turn", pa.int32()),
+        ("chunk_text", pa.string()),
+        ("headings", pa.string()),        # JSON list, heading context
+        ("n_tokens", pa.int32()),
+        ("n_char", pa.int32()),
+        ("n_word", pa.int32()),
+        ("n_line", pa.int32()),
+        ("is_table", pa.bool_()),
+    ]
+)
+
+
+def _split_oversize(text: str, budget_tokens: int) -> list[str]:
+    """Split one oversize item into ≤ budget_tokens pieces on word
+    boundaries (the deterministic analog of the reference's semchunk
+    table split, intelligent_processor.py:627-653)."""
+    words = text.split(" ")
+    pieces: list[str] = []
+    cur: list[str] = []
+    cur_tokens = 0
+    for w in words:
+        t = count_tokens(w) or 1
+        if cur and cur_tokens + t > budget_tokens:
+            pieces.append(" ".join(cur))
+            cur, cur_tokens = [], 0
+        cur.append(w)
+        cur_tokens += t
+    if cur:
+        pieces.append(" ".join(cur))
+    return pieces or [""]
+
+
+def chunk_items(
+    items: list[dict],
+    texts: list[str],
+    *,
+    max_tokens: int = 2000,
+    table_split_tokens: int = 4096,
+    merge_min_tokens: int | None = None,
+) -> list[dict]:
+    """C1+C3+C4 over one turn's item list.
+
+    ``items``: span dicts ({label, ...}) aligned with ``texts`` (the
+    sliced item texts). Returns chunk dicts with text/headings/tokens.
+    """
+    if merge_min_tokens is None:
+        merge_min_tokens = max_tokens // 3
+
+    # --- C1: walk items, maintain heading context, emit (ctx, item) runs
+    headings: dict[int, str] = {}
+    annotated: list[tuple[tuple[str, ...], str, str, int]] = []
+    for sp, text in zip(items, texts):
+        label = sp.get("label", "text")
+        if label in (TITLE, SECTION_HEADER):
+            level = int(sp.get("level", 1)) or 1
+            # clear this level and deeper (reference :276-282)
+            for lv in [lv for lv in headings if lv >= level]:
+                del headings[lv]
+            headings[level] = text
+            continue
+        ctx = tuple(headings[lv] for lv in sorted(headings))
+        annotated.append((ctx, label, text, count_tokens(text)))
+
+    # --- C3: greedy accumulation, tables standalone, oversize split
+    chunks: list[dict] = []
+
+    def emit(ctx: tuple[str, ...], parts: list[str], tokens: int,
+             is_table: bool) -> None:
+        body = "\n".join(parts)
+        text = "\n".join([*ctx, body]) if ctx else body
+        chunks.append(
+            {
+                "text": text,
+                "headings": list(ctx),
+                "n_tokens": count_tokens(text),
+                "body_tokens": tokens,
+                "is_table": is_table,
+            }
+        )
+
+    cur_ctx: tuple[str, ...] | None = None
+    cur_parts: list[str] = []
+    cur_tokens = 0
+
+    def flush() -> None:
+        nonlocal cur_parts, cur_tokens
+        if cur_parts:
+            emit(cur_ctx or (), cur_parts, cur_tokens, False)
+        cur_parts, cur_tokens = [], 0
+
+    for ctx, label, text, tokens in annotated:
+        if label == TABLE:
+            # reference: a table is always its own chunk (:627-653)
+            flush()
+            if tokens > table_split_tokens:
+                for piece in _split_oversize(text, table_split_tokens):
+                    emit(ctx, [piece], count_tokens(piece), True)
+            else:
+                emit(ctx, [text], tokens, True)
+            cur_ctx = ctx
+            continue
+        if ctx != cur_ctx:
+            # section change closes the chunk (:417-472)
+            flush()
+            cur_ctx = ctx
+        if tokens > max_tokens:
+            flush()
+            for piece in _split_oversize(text, max_tokens):
+                emit(ctx, [piece], count_tokens(piece), False)
+            continue
+        if cur_parts and cur_tokens + tokens > max_tokens:
+            flush()
+        cur_parts.append(text)
+        cur_tokens += tokens
+    flush()
+
+    # --- C4: merge small chunks forward while the pair stays ≤ max and
+    # shares heading context; tables never merge (:750-856)
+    merged: list[dict] = []
+    i = 0
+    while i < len(chunks):
+        c = chunks[i]
+        while (
+            not c["is_table"]
+            and c["body_tokens"] < merge_min_tokens
+            and i + 1 < len(chunks)
+            and not chunks[i + 1]["is_table"]
+            and chunks[i + 1]["headings"] == c["headings"]
+            and c["body_tokens"] + chunks[i + 1]["body_tokens"] <= max_tokens
+        ):
+            nxt = chunks[i + 1]
+            ctx = tuple(c["headings"])
+            # re-emit as one chunk: strip the duplicated heading prefix
+            prefix = "\n".join(ctx) + "\n" if ctx else ""
+            body = (
+                c["text"][len(prefix):] + "\n" + nxt["text"][len(prefix):]
+            )
+            c = {
+                "text": prefix + body,
+                "headings": c["headings"],
+                "n_tokens": count_tokens(prefix + body),
+                "body_tokens": c["body_tokens"] + nxt["body_tokens"],
+                "is_table": False,
+            }
+            del chunks[i + 1]
+        merged.append(c)
+        i += 1
+    return merged
+
+
+def chunk_batch(batch: pa.Table, *, max_tokens: int = 2000,
+                table_split_tokens: int = 4096) -> pa.Table:
+    """1 extracted row → N chunk rows (stateless flat map)."""
+    conv_ids = batch.column("conv_id").to_pylist()
+    turn_idxs = batch.column("turn_idx").to_pylist()
+    span_strs = batch.column("spans").to_pylist()
+    full_texts = batch.column("extracted_text").to_pylist()
+
+    cols: dict[str, list] = {name: [] for name in CHUNK_SCHEMA.names}
+    for conv_id, turn_idx, spans_s, full in zip(
+        conv_ids, turn_idxs, span_strs, full_texts
+    ):
+        spans = json.loads(spans_s) if spans_s else []
+        texts = [full[sp["start"]: sp["end"]] for sp in spans]
+        chunks = chunk_items(
+            spans, texts, max_tokens=max_tokens,
+            table_split_tokens=table_split_tokens,
+        )
+        n_of_turn = len(chunks)
+        for ci, ch in enumerate(chunks):
+            cols["conv_id"].append(conv_id)
+            cols["turn_idx"].append(turn_idx)
+            cols["chunk_idx"].append(ci)
+            cols["n_chunk_of_turn"].append(n_of_turn)
+            cols["chunk_text"].append(ch["text"])
+            cols["headings"].append(json.dumps(ch["headings"]))
+            cols["n_tokens"].append(ch["n_tokens"])
+            cols["n_char"].append(len(ch["text"]))
+            cols["n_word"].append(n_words(ch["text"]))
+            cols["n_line"].append(n_lines(ch["text"]))
+            cols["is_table"].append(ch["is_table"])
+    return pa.table(
+        {name: pa.array(cols[name], CHUNK_SCHEMA.field(name).type)
+         for name in CHUNK_SCHEMA.names},
+        schema=CHUNK_SCHEMA,
+    )
+
+
+def chunk_turns(ds, *, max_tokens: int = 2000, table_split_tokens: int = 4096,
+                batch_size: int = 128):
+    """Attach the chunking stage to a Dataset of extracted rows."""
+    return ds.map_batches(
+        lambda b: chunk_batch(b, max_tokens=max_tokens,
+                              table_split_tokens=table_split_tokens),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+    )
+
+
+def _chunk_counter_partition(part: pa.Table) -> pa.Table:
+    """Vectorized global chunk rank/total per conversation (C5
+    ``i_chunk_on_doc`` / ``n_chunk_of_doc`` analog) for every
+    conversation in one hash partition."""
+    import numpy as np
+
+    from doc_parser_ray.stages.assemble import _group_spans
+
+    part = part.sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending"),
+         ("chunk_idx", "ascending")]
+    )
+    n = part.num_rows
+    if n == 0:
+        return part.drop_columns(["pkey"])
+    conv = np.asarray(part.column("conv_id").to_pylist(), dtype=object)
+    gid, starts = _group_spans([conv])
+    idx = np.arange(n, dtype=np.int64)
+    local = idx - starts[gid]
+    counts = np.bincount(gid)
+    part = part.drop_columns(["pkey"])
+    part = part.append_column("chunk_ord", pa.array(local.astype("int32")))
+    return part.append_column(
+        "n_chunks_of_conv", pa.array(counts[gid].astype("int32"))
+    )
+
+
+def assemble_chunk_counters(ds, num_partitions: int = 64):
+    """The conversation-keyed exchange for chunk rows: same bounded
+    hash-partition shape as stages/assemble.py, ordered by the composite
+    (turn_idx, chunk_idx) key."""
+    from doc_parser_ray.stages.assemble import _add_pkey
+
+    ds = ds.map_batches(
+        lambda b: _add_pkey(b, num_partitions, None),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return ds.groupby("pkey").map_groups(
+        _chunk_counter_partition, batch_format="pyarrow"
+    )
