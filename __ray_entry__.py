@@ -125,6 +125,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal (decode / resize / frame-sample / features)
         "media_decode": T.media_decode,
         "media_pipeline": T.media_pipeline,
+        # metadata extraction (E5 deterministic normalizers)
+        "doc_metadata": T.doc_metadata,
     }
 
 
@@ -246,6 +248,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(FLOOR(j * 10000.0 + 0.5) AS BIGINT) AS jaccard_e4
             FROM p WHERE j >= 0.5
             ORDER BY left_id, right_id
+        """,
+        "doc_metadata": """
+            WITH m AS (
+                SELECT range AS doc_id,
+                       1990 + range % 35 AS y,
+                       1 + range % 14 AS mo,
+                       1 + range % 31 AS d
+                FROM range(400)
+            )
+            SELECT doc_id,
+                   'Report ' || CAST(doc_id AS VARCHAR) AS title,
+                   CAST(CASE WHEN TRY_CAST(format('{}-{}-{}', y, mo, d)
+                                           AS DATE) IS NULL
+                        THEN 0 ELSE y * 10000 + mo * 100 + d END
+                        AS BIGINT) AS created_date,
+                   'A' || CAST(doc_id % 5 AS VARCHAR) || ',B'
+                       || CAST(doc_id % 3 AS VARCHAR) AS authors
+            FROM m ORDER BY doc_id
         """,
         "media_decode": """
             WITH m AS (SELECT range AS media_id FROM range(300))

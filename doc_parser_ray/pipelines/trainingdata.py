@@ -301,6 +301,48 @@ def knn_documents_ivf(sf_dir: str, n_queries: int = 5, k: int = 10) -> pa.Table:
     return tab.append_column("cosine_e3", e3)
 
 
+# -------------------------------------------------------- metadata
+
+
+def doc_metadata(sf_dir: str, n: int = 400) -> pa.Table:
+    """E5 metadata extraction end-to-end: synthesize deterministic
+    document head texts (title / Author: line / Date: line, some dates
+    deliberately invalid), run the real regex extractors, return typed
+    metadata. The SQL oracle recomputes each column from the id
+    formulas (dates via TRY_CAST validity — same calendar rules as the
+    reference's datetime check)."""
+    from doc_parser_ray.functions.metadata import extract_metadata
+
+    def gen_and_extract(batch) -> pa.Table:
+        ids = [int(x) for x in batch["id"]]
+        out_t, out_d, out_a = [], [], []
+        for i in ids:
+            date_str = f"{1990 + i % 35}-{1 + i % 14}-{1 + i % 31}"
+            text = (
+                f"Report {i}\n"
+                f"Author: A{i % 5}; B{i % 3}\n"
+                f"Published {date_str} in the proceedings.\n"
+                f"Body text for document {i}."
+            )
+            meta = extract_metadata(text)
+            out_t.append(meta["title"])
+            out_d.append(meta["created_date"])
+            out_a.append(",".join(meta["authors"]))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "title": pa.array(out_t, pa.string()),
+                "created_date": pa.array(out_d, pa.int64()),
+                "authors": pa.array(out_a, pa.string()),
+            }
+        )
+
+    out = ray.data.range(n).map_batches(
+        gen_and_extract, batch_size=128, batch_format="numpy"
+    )
+    return _collect(out).sort_by([("doc_id", "ascending")])
+
+
 # ----------------------------------------------------------- media
 
 
