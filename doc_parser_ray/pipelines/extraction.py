@@ -160,10 +160,27 @@ def run_extraction(
         if resume and shard_done(out_dir, k, fingerprint):
             continue
         t0 = time.perf_counter()
-        ds = read_transcripts(file_group)
-        out = extract_transcripts(
-            ds, assemble=assemble, salt_bucket_turns=salt_bucket_turns
-        )
+        if assemble and salt_bucket_turns:
+            # measured fast path: fused read→extract→exchange→rank
+            # (stages/fused.py; byte-identical to the Dataset path)
+            from doc_parser_ray.stages.fused import fused_extract_assemble
+
+            files: list[str] = []
+            for f in file_group:
+                if os.path.isdir(f):
+                    files.extend(sorted(
+                        pads.dataset(f, format="parquet").files))
+                else:
+                    files.append(f)
+            out = fused_extract_assemble(
+                files, salt_bucket_turns=salt_bucket_turns,
+                columns=TRANSCRIPT_COLUMNS,
+            )
+        else:
+            ds = read_transcripts(file_group)
+            out = extract_transcripts(
+                ds, assemble=assemble, salt_bucket_turns=salt_bucket_turns
+            )
         shard_out = f"{out_dir}/shard={k:05d}"
         # idempotent re-run: a crashed shard may have left partial files
         if os.path.isdir(shard_out):

