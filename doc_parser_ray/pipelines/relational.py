@@ -86,10 +86,21 @@ def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10) -> pa.Tab
     joined = broadcast_join(
         orders, cust_tab, left_key="o_custkey", right_key="c_custkey", how="inner"
     )
-    top = joined.sort(
-        ["o_totalprice", "o_orderkey"], descending=[True, False]
-    ).limit(k)
-    tab = collect_table(top)
+
+    # scale-correct top-k: per-block local top-k (map-side combine),
+    # driver-side final merge of k×blocks rows — no global sort shuffle
+    def local_topk(batch: pa.Table) -> pa.Table:
+        return batch.sort_by(
+            [("o_totalprice", "descending"), ("o_orderkey", "ascending")]
+        ).slice(0, k)
+
+    tab = collect_table(
+        joined.map_batches(local_topk, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    )
+    tab = tab.sort_by(
+        [("o_totalprice", "descending"), ("o_orderkey", "ascending")]
+    ).slice(0, k)
     return tab.select(["o_orderkey", "o_custkey", "o_totalprice"])
 
 

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -139,23 +140,78 @@ class _MinhashBands:
         )
 
 
-def _bucket_pairs(group: pa.Table, id_col: str, threshold: float) -> pa.Table:
-    """Within one LSH bucket: estimated-Jaccard-filtered candidate pairs."""
+def _partitioned_bucket_pairs(ds, key_col: str, id_col: str,
+                              pair_fn, num_partitions: int):
+    """Shared shape for LSH-style pair generation at scale: hash the
+    bucket key into a BOUNDED number of partitions (Python overhead
+    O(partitions), not O(distinct buckets) — same lesson as
+    stages/assemble.py), sort each partition by bucket key, and call the
+    vectorized ``pair_fn(bucket_table)`` only for buckets with ≥ 2
+    members."""
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_pylist()
+        pk = pa.array(
+            [zlib.crc32(str(k).encode()) % num_partitions for k in keys],
+            pa.int32(),
+        )
+        return batch.append_column("pkey", pk)
+
+    def partition_pairs(part: pa.Table) -> pa.Table:
+        part = part.sort_by([(key_col, "ascending")])
+        keys = np.asarray(part.column(key_col).to_pylist(), dtype=object)
+        n = len(keys)
+        outs = []
+        if n:
+            change = np.ones(n, dtype=bool)
+            change[1:] = keys[1:] != keys[:-1]
+            starts = np.flatnonzero(change)
+            ends = np.append(starts[1:], n)
+            for s, e in zip(starts, ends):
+                if e - s >= 2:
+                    outs.append(pair_fn(part.slice(s, e - s)))
+        outs = [o for o in outs if o is not None and o.num_rows]
+        if not outs:
+            return pair_fn(part.slice(0, 0), empty=True)
+        return pa.concat_tables(outs)
+
+    # materialize on BOTH sides of the exchange: a sort with a lazy
+    # upstream re-executes it for boundary sampling (measured 2× the
+    # banding stage), and the caller's pair-dedup groupby would re-run
+    # this whole chain again. Both tables are projections (id, key,
+    # signature / pair rows) — bounded, never the corpus.
+    keyed = ds.map_batches(
+        add_pkey, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    return keyed.groupby("pkey").map_groups(
+        partition_pairs, batch_format="pyarrow"
+    ).materialize()
+
+
+def _minhash_bucket_pairs(group: pa.Table, id_col: str, threshold: float,
+                          empty: bool = False) -> pa.Table:
+    """Within one LSH bucket: estimated-Jaccard-filtered candidate
+    pairs. Signature comparison is one vectorized (m, perm) equality."""
+    id_type = group.column(id_col).type
+    if empty or group.num_rows < 2:
+        return pa.table({"left_id": pa.array([], id_type),
+                         "right_id": pa.array([], id_type),
+                         "est_jaccard": pa.array([], pa.float64())})
     ids = group.column(id_col).to_pylist()
-    sigs = [np.frombuffer(s, dtype=np.uint64) for s in group.column("minhash_sig").to_pylist()]
+    sigs = np.stack([np.frombuffer(s, dtype=np.uint64)
+                     for s in group.column("minhash_sig").to_pylist()])
+    m = len(ids)
+    iu, ju = np.triu_indices(m, k=1)
+    sims = (sigs[iu] == sigs[ju]).mean(axis=1)
+    keep = sims >= threshold
     left, right, est = [], [], []
-    n = len(ids)
-    for i in range(n):
-        for j in range(i + 1, n):
-            if ids[i] == ids[j]:
-                continue
-            sim = float(np.mean(sigs[i] == sigs[j]))
-            if sim >= threshold:
-                a, b = sorted((ids[i], ids[j]))
-                left.append(a)
-                right.append(b)
-                est.append(sim)
-    id_type = group.column(id_col).type  # typed even when empty
+    for i, j, s in zip(iu[keep], ju[keep], sims[keep]):
+        if ids[i] == ids[j]:
+            continue
+        a, b = sorted((ids[i], ids[j]))
+        left.append(a)
+        right.append(b)
+        est.append(float(s))
     return pa.table(
         {
             "left_id": pa.array(left, id_type),
@@ -167,11 +223,12 @@ def _bucket_pairs(group: pa.Table, id_col: str, threshold: float) -> pa.Table:
 
 def minhash_lsh_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
                       num_perm: int = 64, bands: int = 16, k: int = 3,
-                      threshold: float = 0.5, concurrency=(1, 8)):
+                      threshold: float = 0.5, concurrency=(1, 8),
+                      num_partitions: int = 32):
     """Near-duplicate candidate pairs: shingle → minhash → band →
-    groupby(band) → in-bucket pairing. The shuffle carries only
-    (id, band_key, signature); bucket sizes are tiny for non-degenerate
-    corpora (a hot bucket == a true duplicate cluster).
+    bounded-partition bucket groupby → in-bucket pairing. The shuffle
+    carries only (id, band_key, signature); bucket sizes are tiny for
+    non-degenerate corpora (a hot bucket == a true duplicate cluster).
     """
     banded = ds.select_columns([id_col, text_col]).map_batches(
         _MinhashBands,
@@ -180,8 +237,11 @@ def minhash_lsh_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
         concurrency=concurrency,
         zero_copy_batch=True,
     )
-    pairs = banded.groupby("band_key").map_groups(
-        lambda g: _bucket_pairs(g, id_col, threshold), batch_format="pyarrow"
+    pairs = _partitioned_bucket_pairs(
+        banded, "band_key", id_col,
+        lambda g, empty=False: _minhash_bucket_pairs(
+            g, id_col, threshold, empty=empty),
+        num_partitions,
     )
     # same pair can surface from multiple bands → dedup on the pair key
     return pairs.groupby(["left_id", "right_id"]).max("est_jaccard")
@@ -258,27 +318,39 @@ def simhash_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
         return pa.table({id_col: pa.array(o_id), "block_key": pa.array(o_key),
                          "simhash": pa.array(o_h, pa.uint64())})
 
-    def pair_up(group: pa.Table) -> pa.Table:
-        ids = group.column(id_col).to_pylist()
-        hs = group.column("simhash").to_pylist()
-        left, right, dist = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if ids[i] == ids[j]:
-                    continue
-                d = int(hs[i] ^ hs[j]).bit_count()
-                if d <= max_hamming:
-                    a, b = sorted((ids[i], ids[j]))
-                    left.append(a)
-                    right.append(b)
-                    dist.append(d)
+    def pair_up(group: pa.Table, empty: bool = False) -> pa.Table:
         id_type = group.column(id_col).type
+        if empty or group.num_rows < 2:
+            return pa.table({"left_id": pa.array([], id_type),
+                             "right_id": pa.array([], id_type),
+                             "hamming": pa.array([], pa.int64())})
+        ids = group.column(id_col).to_pylist()
+        hs = np.asarray(group.column("simhash").to_pylist(), dtype=np.uint64)
+        m = len(ids)
+        iu, ju = np.triu_indices(m, k=1)
+        x = hs[iu] ^ hs[ju]
+        acc = np.zeros(len(x), dtype=np.uint64)  # vectorized popcount
+        for shift in range(0, 64, 8):
+            acc += np.unpackbits(
+                ((x >> np.uint64(shift)) & np.uint64(0xFF)).astype(np.uint8)
+            ).reshape(len(x), 8).sum(axis=1).astype(np.uint64)
+        d = acc.astype(np.int64)
+        keep = d <= max_hamming
+        left, right, dist = [], [], []
+        for i, j, dd in zip(iu[keep], ju[keep], d[keep]):
+            if ids[i] == ids[j]:
+                continue
+            a, b = sorted((ids[i], ids[j]))
+            left.append(a)
+            right.append(b)
+            dist.append(int(dd))
         return pa.table({"left_id": pa.array(left, id_type),
                          "right_id": pa.array(right, id_type),
                          "hamming": pa.array(dist, pa.int64())})
 
-    pairs = hashed.map_batches(explode, batch_format="pyarrow") \
-        .groupby("block_key").map_groups(pair_up, batch_format="pyarrow")
+    exploded = hashed.map_batches(explode, batch_format="pyarrow")
+    pairs = _partitioned_bucket_pairs(exploded, "block_key", id_col,
+                                      pair_up, num_partitions=32)
     return pairs.groupby(["left_id", "right_id"]).min("hamming")
 
 
@@ -494,7 +566,12 @@ def embedding_dedup_pairs(ds, *, id_col: str = "vec_id", dim: int = 64,
         concurrency=concurrency,
     )
 
-    def verify(group: pa.Table) -> pa.Table:
+    def verify(group: pa.Table, empty: bool = False) -> pa.Table:
+        id_type = group.column(id_col).type
+        if empty or group.num_rows < 2:
+            return pa.table({"left_id": pa.array([], id_type),
+                             "right_id": pa.array([], id_type),
+                             "cosine": pa.array([], pa.float64())})
         ids = group.column(id_col).to_pylist()
         emb = np.asarray(group.column("embedding").to_pylist(), dtype=np.float32)
         norms = np.linalg.norm(emb, axis=1, keepdims=True)
@@ -510,10 +587,10 @@ def embedding_dedup_pairs(ds, *, id_col: str = "vec_id", dim: int = 64,
                     left.append(a)
                     right.append(b)
                     score.append(float(sims[i, j]))
-        id_type = group.column(id_col).type
         return pa.table({"left_id": pa.array(left, id_type),
                          "right_id": pa.array(right, id_type),
                          "cosine": pa.array(score, pa.float64())})
 
-    pairs = bucketed.groupby("bucket_key").map_groups(verify, batch_format="pyarrow")
+    pairs = _partitioned_bucket_pairs(bucketed, "bucket_key", id_col,
+                                      verify, num_partitions=32)
     return pairs.groupby(["left_id", "right_id"]).max("cosine")
