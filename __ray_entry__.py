@@ -102,6 +102,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_orders_monthly": R.q_orders_monthly,
         "q_part_brand_topk": R.q_part_brand_topk,
         "q_distinct_segments": R.q_distinct_segments,
+        "q_sessionize": R.q_sessionize,
+        "q_asof_join": R.q_asof_join,
         # extraction (P1/P2/P5 + PDF path, SQL-verified round-trip)
         "extract_roundtrip": T.extract_roundtrip,
         "extract_transcripts": _q_extract_transcripts,
@@ -203,6 +205,41 @@ def oracle_sql() -> dict[str, str]:
         "q_distinct_segments": """
             SELECT c_mktsegment, COUNT(*) AS n_customers
             FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        "q_sessionize": """
+            WITH g AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w > INTERVAL 30 MINUTES
+                       THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s AS (
+                SELECT user_id, ts,
+                       CAST(SUM(new_s) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)
+                           AS session_idx
+                FROM g
+            )
+            SELECT user_id, session_idx, COUNT(*) AS n_events,
+                   CAST(epoch_us(MIN(ts)) AS BIGINT) AS session_start_us,
+                   CAST(epoch_us(MAX(ts)) AS BIGINT) AS session_end_us
+            FROM s GROUP BY user_id, session_idx
+            ORDER BY user_id, session_idx
+        """,
+        "q_asof_join": """
+            SELECT event_id, user_id, o_orderkey FROM (
+                SELECT e.event_id, e.user_id, o.o_orderkey,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.event_id
+                           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+                       ) AS rn
+                FROM events e
+                JOIN orders o ON e.user_id = o.o_custkey
+                             AND o.o_orderdate <= e.ts
+            ) WHERE rn = 1 ORDER BY event_id
         """,
         "extract_roundtrip": """
             SELECT doc_id, TRIM(text) AS extracted_text

@@ -213,6 +213,140 @@ def q_part_brand_topk(sf_dir: str, k: int = 3) -> pa.Table:
     )
 
 
+def q_sessionize(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
+    """Event-time sessionization (the streaming-window analog, computed
+    batch): per user, a new session starts when the gap to the previous
+    event exceeds ``gap_minutes``. Same scale shape as conversation
+    assembly — bounded hash partitions on the key, vectorized in-partition
+    gap detection; no per-user Python calls."""
+    import numpy as np
+    import zlib as _zlib
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    num_partitions = 16
+    gap_us = gap_minutes * 60_000_000
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        uids = batch.column("user_id").to_numpy(zero_copy_only=False)
+        pk = pa.array(
+            (uids % num_partitions).astype("int32")
+            if uids.dtype.kind in "iu"
+            else [_zlib.crc32(str(u).encode()) % num_partitions for u in uids]
+        )
+        return batch.append_column("pkey", pk)
+
+    def sessions(part: pa.Table) -> pa.Table:
+        part = part.sort_by(
+            [("user_id", "ascending"), ("ts", "ascending"),
+             ("event_id", "ascending")]
+        )
+        n = part.num_rows
+        if n == 0:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "session_idx": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "session_start_us": pa.array([], pa.int64()),
+                "session_end_us": pa.array([], pa.int64()),
+            })
+        uid = part.column("user_id").to_numpy(zero_copy_only=False)
+        ts = part.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        gap = np.zeros(n, dtype=bool)
+        gap[1:] = (ts[1:] - ts[:-1]) > gap_us
+        new_session = new_user | gap
+        sid = np.cumsum(new_session) - 1          # global session id
+        starts = np.flatnonzero(new_session)
+        counts = np.bincount(sid)
+        ends = np.append(starts[1:], n) - 1
+        # session_idx = rank of the session within its user
+        user_first = np.flatnonzero(new_user)
+        sess_user_start = np.searchsorted(starts, user_first)
+        per_user_base = np.zeros(len(starts), dtype=np.int64)
+        per_user_base[sess_user_start] = np.arange(len(starts))[sess_user_start]
+        np.maximum.accumulate(per_user_base, out=per_user_base)
+        session_idx = np.arange(len(starts)) - per_user_base
+        return pa.table({
+            "user_id": pa.array(uid[starts], pa.int64()),
+            "session_idx": pa.array(session_idx, pa.int64()),
+            "n_events": pa.array(counts.astype("int64")),
+            "session_start_us": pa.array(ts[starts], pa.int64()),
+            "session_end_us": pa.array(ts[ends], pa.int64()),
+        })
+
+    keyed = ev.map_batches(add_pkey, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+    out = keyed.groupby("pkey").map_groups(sessions, batch_format="pyarrow")
+    return collect_table(out).sort_by(
+        [("user_id", "ascending"), ("session_idx", "ascending")]
+    )
+
+
+def q_asof_join(sf_dir: str) -> pa.Table:
+    """As-of join: each event matched to the latest order of the same
+    customer at-or-before the event time (tie-broken by max orderkey).
+    The orders side is broadcast as per-key sorted arrays (``ray.put``
+    once, binary-searched per batch); at a scale where the right side
+    exceeds broadcast budget, the same in-partition merge runs after a
+    shared repartition on the key."""
+    import numpy as np
+    from collections import defaultdict
+
+    orders = collect_table(
+        _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate"])
+    )
+    ok = orders.column("o_custkey").to_numpy(zero_copy_only=False)
+    keys_ = orders.column("o_orderkey").to_numpy(zero_copy_only=False)
+    dates = orders.column("o_orderdate").cast(pa.int64()).to_numpy(
+        zero_copy_only=False)
+    by_cust: dict = defaultdict(list)
+    for c, k, d in zip(ok, keys_, dates):
+        by_cust[int(c)].append((int(d), int(k)))
+    # sort by (date, orderkey) so the rightmost match IS the tie-winner
+    lookup = {
+        c: (np.array([d for d, _ in sorted(v)], dtype=np.int64),
+            np.array([k for _, k in sorted(v)], dtype=np.int64))
+        for c, v in by_cust.items()
+    }
+    import ray as _ray
+
+    lookup_ref = _ray.put(lookup)
+
+    def asof(batch: pa.Table) -> pa.Table:
+        lk = _ray.get(lookup_ref)
+        uids = batch.column("user_id").to_numpy(zero_copy_only=False)
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eids = batch.column("event_id").to_numpy(zero_copy_only=False)
+        o_eid, o_uid, o_key = [], [], []
+        order = np.argsort(uids, kind="stable")
+        i = 0
+        while i < len(order):
+            j = i
+            u = uids[order[i]]
+            while j < len(order) and uids[order[j]] == u:
+                j += 1
+            ent = lk.get(int(u))
+            if ent is not None:
+                dts, oks = ent
+                rows = order[i:j]
+                pos = np.searchsorted(dts, ts[rows], side="right") - 1
+                hit = pos >= 0
+                o_eid.extend(eids[rows[hit]].tolist())
+                o_uid.extend([int(u)] * int(hit.sum()))
+                o_key.extend(oks[pos[hit]].tolist())
+            i = j
+        return pa.table({
+            "event_id": pa.array(o_eid, pa.int64()),
+            "user_id": pa.array(o_uid, pa.int64()),
+            "o_orderkey": pa.array(o_key, pa.int64()),
+        })
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    out = ev.map_batches(asof, batch_format="pyarrow", zero_copy_batch=True)
+    return collect_table(out).sort_by([("event_id", "ascending")])
+
+
 def q_distinct_segments(sf_dir: str) -> pa.Table:
     """Distinct via groupby-count, sorted."""
     out = (
