@@ -146,7 +146,9 @@ def main() -> None:
         # honest proxy for N→4N *nodes* (separate boxes don't share a
         # turbo budget). Raw-loop ceilings are recorded in BASELINE.md.
         results = {}
-        mult = args.mult if args.mult > 1 else 6
+        # scaling corpus is larger than the per-round corpus so compute
+        # dominates the fixed costs (driver combine, wave scheduling)
+        mult = args.mult if args.mult > 1 else 12
         # pre-generate the (cached) corpus at full parallelism so the
         # small-cpu subprocess doesn't pay generation cost
         import ray

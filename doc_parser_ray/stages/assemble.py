@@ -51,6 +51,39 @@ import ray
 _SALT_MIX = 0x9E3779B1  # Fibonacci hashing multiplier
 
 
+def combine_bucket_summaries(summary: pa.Table | None):
+    """Per-bucket (conv_id, salt, bucket_n, bucket_chars) partials →
+    broadcast lookup dicts: rank offsets per (conv, salt), turn totals
+    and char totals per conv. Fully vectorized (pandas groupby + numpy
+    cumsum); the only Python-loop cost is the final dict construction.
+    Driver-small by construction: one row per (conv, salt) bucket."""
+    import numpy as np
+
+    if summary is None or summary.num_rows == 0:
+        return {}, {}, {}
+    df = summary.to_pandas()
+    df = (
+        df.groupby(["conv_id", "salt"], as_index=False)[
+            ["bucket_n", "bucket_chars"]
+        ].sum().sort_values(["conv_id", "salt"], ignore_index=True)
+    )
+    convs = df["conv_id"].to_numpy()
+    bn = df["bucket_n"].to_numpy(dtype=np.int64)
+    new_conv = np.ones(len(df), dtype=bool)
+    new_conv[1:] = convs[1:] != convs[:-1]
+    cum = np.concatenate(([0], np.cumsum(bn)[:-1]))  # exclusive prefix
+    conv_base = np.where(new_conv, cum, 0)
+    np.maximum.accumulate(conv_base, out=conv_base)
+    base = cum - conv_base
+    offsets = dict(zip(zip(convs, df["salt"].astype(int)), base.tolist()))
+    per_conv = df.groupby("conv_id", sort=False)[
+        ["bucket_n", "bucket_chars"]
+    ].sum()
+    totals = per_conv["bucket_n"].astype(int).to_dict()
+    chars = per_conv["bucket_chars"].astype(int).to_dict()
+    return offsets, totals, chars
+
+
 def _conv_hash(conv_ids: list[str]) -> np.ndarray:
     return np.array([zlib.crc32(c.encode()) for c in conv_ids], dtype=np.uint64)
 
@@ -220,21 +253,10 @@ def assemble_conversations_salted(ds, salt_bucket_turns: int = 256,
         ),
         batch_format="pyarrow",
         zero_copy_batch=True,
-    ).to_pandas()
-    summaries = summaries.sort_values(["conv_id", "salt"])
-    offsets: dict = {}
-    running: dict = {}
-    chars: dict = {}
-    for conv_id, salt, bn, bc in zip(
-        summaries["conv_id"], summaries["salt"],
-        summaries["bucket_n"], summaries["bucket_chars"]
-    ):
-        off = running.get(conv_id, 0)
-        offsets[(conv_id, int(salt))] = off
-        running[conv_id] = off + int(bn)
-        chars[conv_id] = chars.get(conv_id, 0) + int(bc)
-    totals = {c: int(v) for c, v in running.items()}
+    )
+    from doc_parser_ray.util import collect_table
 
+    offsets, totals, chars = combine_bucket_summaries(collect_table(summaries))
     lookup_ref = ray.put((offsets, totals, chars))
     return bucketed.map_batches(
         _make_finalizer(lookup_ref), batch_format="pyarrow",

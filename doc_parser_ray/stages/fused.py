@@ -49,8 +49,71 @@ import pyarrow.parquet as pq
 
 import ray
 
-from doc_parser_ray.stages.assemble import _add_pkey, _group_spans
+from doc_parser_ray.stages.assemble import (
+    _SALT_MIX,
+    _add_pkey,
+    _conv_hash,
+    _group_spans,
+)
 from doc_parser_ray.stages.extract import extract_batch
+
+
+def partitioned_bucket_lookup(summary: pa.Table | None, num_partitions: int
+                              ) -> list[pa.Table]:
+    """Combine per-block bucket summaries into per-PARTITION lookup
+    tables (conv_id, salt, base, total, chars), partitioned by the same
+    hash as ``_add_pkey`` so each wave-2 task receives exactly its own
+    buckets. Fully vectorized; the driver never holds more than one row
+    per (conv, salt) bucket."""
+    empty = pa.table({
+        "conv_id": pa.array([], pa.string()),
+        "salt": pa.array([], pa.int64()),
+        "base": pa.array([], pa.int64()),
+        "total": pa.array([], pa.int64()),
+        "chars": pa.array([], pa.int64()),
+    })
+    if summary is None or summary.num_rows == 0:
+        return [empty] * num_partitions
+    df = summary.to_pandas()
+    df = (
+        df.groupby(["conv_id", "salt"], as_index=False)[
+            ["bucket_n", "bucket_chars"]
+        ].sum().sort_values(["conv_id", "salt"], ignore_index=True)
+    )
+    convs = df["conv_id"].to_numpy()
+    salts = df["salt"].to_numpy(dtype=np.int64)
+    bn = df["bucket_n"].to_numpy(dtype=np.int64)
+    bc = df["bucket_chars"].to_numpy(dtype=np.int64)
+    m = len(df)
+    new_conv = np.ones(m, dtype=bool)
+    new_conv[1:] = convs[1:] != convs[:-1]
+    gid = np.cumsum(new_conv) - 1
+    cstarts = np.flatnonzero(new_conv)
+    cum = np.concatenate(([0], np.cumsum(bn)[:-1]))  # exclusive prefix
+    base = cum - cum[cstarts][gid]
+    total = np.add.reduceat(bn, cstarts)[gid]
+    chars = np.add.reduceat(bc, cstarts)[gid]
+    # same partition hash as _add_pkey
+    h = _conv_hash(convs.tolist()) + salts.astype(np.uint64) * np.uint64(
+        _SALT_MIX)
+    pkey = (h % np.uint64(num_partitions)).astype(np.int64)
+    tab = pa.table({
+        "conv_id": pa.array(convs, pa.string()),
+        "salt": pa.array(salts, pa.int64()),
+        "base": pa.array(base, pa.int64()),
+        "total": pa.array(total, pa.int64()),
+        "chars": pa.array(chars, pa.int64()),
+        "pkey": pa.array(pkey, pa.int64()),
+    })
+    order = np.argsort(pkey, kind="stable")
+    sorted_tab = tab.take(pa.array(order))
+    bounds = np.searchsorted(pkey[order], np.arange(num_partitions + 1))
+    out = []
+    for p in range(num_partitions):
+        lo, hi = bounds[p], bounds[p + 1]
+        out.append(sorted_tab.slice(lo, hi - lo).drop_columns(["pkey"])
+                   if hi > lo else empty)
+    return out
 
 
 def _extract_and_split(files: list[str], columns: list[str] | None,
@@ -104,10 +167,15 @@ def _assembled_empty() -> pa.Table:
     return schema.empty_table()
 
 
-def _rank_partition(lookup_ref, *parts):
+def _rank_partition(lookup, *parts):
     """Wave-2 task body: concat one partition's sub-tables, rank, attach
-    global counters from the broadcast lookup. Returns (n_rows, table)
-    so the driver can see sizes without fetching blocks."""
+    global counters by a vectorized merge against THIS PARTITION's
+    bucket-summary slice (the summary is partitioned by the same key, so
+    no task ever sees the global bucket list — bounded regardless of
+    total conversation count). Returns (n_rows, table) so the driver can
+    see sizes without fetching blocks."""
+    import pandas as pd
+
     tabs = [t for t in parts if t is not None]
     if not tabs:
         return 0, _assembled_empty()
@@ -116,17 +184,19 @@ def _rank_partition(lookup_ref, *parts):
         [("conv_id", "ascending"), ("salt", "ascending"),
          ("turn_idx", "ascending")]
     )
-    offsets, totals, chars = lookup_ref
     n = part.num_rows
     conv = np.asarray(part.column("conv_id").to_pylist(), dtype=object)
     salt = part.column("salt").to_numpy(zero_copy_only=False)
     gid, starts = _group_spans([conv, salt])
     local = np.arange(n, dtype=np.int64) - starts[gid]
-    base = np.array(
-        [offsets[(conv[s], int(salt[s]))] for s in starts], dtype=np.int64
+    spans = pd.DataFrame(
+        {"conv_id": conv[starts], "salt": salt[starts].astype("int64")}
     )
-    tot = np.array([totals[conv[s]] for s in starts], dtype=np.int64)
-    chr_ = np.array([chars[conv[s]] for s in starts], dtype=np.int64)
+    merged = spans.merge(lookup.to_pandas(), on=["conv_id", "salt"],
+                         how="left")
+    base = merged["base"].to_numpy(dtype=np.int64)
+    tot = merged["total"].to_numpy(dtype=np.int64)
+    chr_ = merged["chars"].to_numpy(dtype=np.int64)
     part = part.drop_columns(["pkey", "salt"])
     part = part.append_column(
         "turn_ord", pa.array((base[gid] + local).astype(np.int32))
@@ -168,30 +238,13 @@ def fused_extract_assemble(
     summary_refs = [w[0] for w in wave1]
     part_refs = [[w[1 + p] for w in wave1] for p in range(num_partitions)]
 
-    # driver-small: combine per-block bucket summaries → rank offsets
+    # driver-small: combine per-block bucket summaries into per-partition
+    # lookup slices (no global broadcast — bounded per task)
     stabs = [t for t in ray.get(summary_refs) if t is not None]
-    summary = pa.concat_tables(stabs).to_pandas() if stabs else None
-    offsets: dict = {}
-    running: dict = {}
-    chars: dict = {}
-    if summary is not None:
-        summary = (
-            summary.groupby(["conv_id", "salt"], as_index=False)[
-                ["bucket_n", "bucket_chars"]
-            ].sum().sort_values(["conv_id", "salt"])
-        )
-        for conv_id, salt, bn, bc in zip(
-            summary["conv_id"], summary["salt"],
-            summary["bucket_n"], summary["bucket_chars"]
-        ):
-            off = running.get(conv_id, 0)
-            offsets[(conv_id, int(salt))] = off
-            running[conv_id] = off + int(bn)
-            chars[conv_id] = chars.get(conv_id, 0) + int(bc)
-    totals = {c: int(v) for c, v in running.items()}
-    lookup_ref = ray.put((offsets, totals, chars))
+    summary = pa.concat_tables(stabs) if stabs else None
+    lookups = partitioned_bucket_lookup(summary, num_partitions)
 
-    wave2 = [rank.remote(lookup_ref, *part_refs[p])
+    wave2 = [rank.remote(lookups[p], *part_refs[p])
              for p in range(num_partitions)]
     counts = ray.get([w[0] for w in wave2])  # scalars only — blocks
     # stay in the object store and re-enter the Dataset world zero-copy
