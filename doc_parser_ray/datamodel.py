@@ -95,7 +95,8 @@ def render_items(items: list[Item]) -> tuple[str, list[dict]]:
         if parts:
             pos += 1  # the joining "\n"
         parts.append(line)
-        spans.append({"label": it.label, "start": pos, "end": pos + len(line)})
+        spans.append({"label": it.label, "start": pos,
+                      "end": pos + len(line), "level": it.level})
         pos += len(line)
     return "\n".join(parts), spans
 
@@ -115,7 +116,8 @@ def spans_json(spans: list[dict]) -> str:
     # hot path: span labels come from the fixed label set (no escaping
     # needed) — manual building is ~3x json.dumps, byte-identical output
     return "[" + ",".join(
-        f'{{"label":"{s["label"]}","start":{s["start"]},"end":{s["end"]}}}'
+        f'{{"label":"{s["label"]}","start":{s["start"]},"end":{s["end"]}'
+        f',"level":{s["level"]}}}'
         for s in spans
     ) + "]"
 

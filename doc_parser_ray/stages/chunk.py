@@ -99,7 +99,9 @@ def chunk_items(
     for sp, text in zip(items, texts):
         label = sp.get("label", "text")
         if label in (TITLE, SECTION_HEADER):
-            level = int(sp.get("level", 1)) or 1
+            # TITLE sits above all section headers (render level for a
+            # section header is h-level minus 1, so shift by +1)
+            level = 1 if label == TITLE else int(sp.get("level", 1)) + 1
             # clear this level and deeper (reference :276-282)
             for lv in [lv for lv in headings if lv >= level]:
                 del headings[lv]
