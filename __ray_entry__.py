@@ -129,6 +129,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_pipeline": T.media_pipeline,
         # metadata extraction (E5 deterministic normalizers)
         "doc_metadata": T.doc_metadata,
+        # sink projections (S6/S8 markdown + doctags writers)
+        "export_markdown": T.export_markdown,
     }
 
 

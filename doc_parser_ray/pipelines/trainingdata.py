@@ -301,6 +301,24 @@ def knn_documents_ivf(sf_dir: str, n_queries: int = 5, k: int = 10) -> pa.Table:
     return tab.append_column("cosine_e3", e3)
 
 
+def export_markdown(sf_dir: str) -> pa.Table:
+    """S6/S8 sink projections: extract synthetic transcripts and attach
+    markdown + doctags export columns (rows-only check — serialization
+    formats have no SQL analog; golden-tested in tests/test_export.py)."""
+    from doc_parser_ray.functions.export import export_turns
+    from doc_parser_ray.sources.transcripts import transcripts_dataset
+    from doc_parser_ray.stages.extract import apply_extract
+
+    ds = transcripts_dataset(n_convs=60, seed=42, max_turns=40)
+    out = export_turns(apply_extract(ds), formats=("markdown", "doctags"))
+    tab = _collect(out.select_columns(
+        ["conv_id", "turn_idx", "status", "export_markdown", "export_doctags"]
+    ))
+    return tab.sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    )
+
+
 # -------------------------------------------------------- metadata
 
 
