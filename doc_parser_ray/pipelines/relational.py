@@ -149,7 +149,10 @@ def q_events_by_type(sf_dir: str) -> pa.Table:
             }
         )
 
-    ev = ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    # materialized: consumed by TWO aggregations below, and a groupby's
+    # boundary sampling re-executes a lazy upstream (assemble.py notes)
+    ev = ev.map_batches(prep, batch_format="pyarrow",
+                        zero_copy_batch=True).materialize()
     base = ev.groupby("event_type").aggregate(
         Count(alias_name="n_events"),
         Sum(on="value_c", alias_name="sum_value_c"),

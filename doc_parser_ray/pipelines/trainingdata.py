@@ -79,7 +79,7 @@ def dedup_prefix(sf_dir: str, prefix_chars: int = 40) -> pa.Table:
 
     keyed = _docs(sf_dir).map_batches(
         key_batch, batch_format="pyarrow", zero_copy_batch=True
-    ).select_columns(["dedup_key", "doc_id"])
+    ).select_columns(["dedup_key", "doc_id"]).materialize()
     out = keyed.groupby("dedup_key").min("doc_id")
     tab = _collect(out).rename_columns(["dedup_key", "doc_id"])
     return tab.select(["doc_id"]).sort_by([("doc_id", "ascending")])

@@ -58,7 +58,9 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
     keyed = ds.map_batches(
         lambda b: add_exact_key(b, text_col), batch_format="pyarrow",
         zero_copy_batch=True,
-    ).select_columns(["dedup_key", id_col])
+    ).select_columns(["dedup_key", id_col]).materialize()
+    # materialized: the groupby's boundary sampling would otherwise
+    # re-execute the sha1 keying pass (see stages/assemble.py notes)
     return keyed.groupby("dedup_key").min(id_col)
 
 
