@@ -53,6 +53,12 @@ CHUNK_SCHEMA = pa.schema(
         ("n_word", pa.int32()),
         ("n_line", pa.int32()),
         ("is_table", pa.bool_()),
+        # provenance: char-offset range of the chunk's body items within
+        # the turn's extracted_text (the 1-D analog of the reference's
+        # per-chunk bbox provenance ``chunk_bboxes``,
+        # intelligent_processor.py:950-974; -1 when offsets unknown)
+        ("span_start", pa.int32()),
+        ("span_end", pa.int32()),
     ]
 )
 
@@ -95,7 +101,7 @@ def chunk_items(
 
     # --- C1: walk items, maintain heading context, emit (ctx, item) runs
     headings: dict[int, str] = {}
-    annotated: list[tuple[tuple[str, ...], str, str, int]] = []
+    annotated: list[tuple] = []
     for sp, text in zip(items, texts):
         label = sp.get("label", "text")
         if label in (TITLE, SECTION_HEADER):
@@ -108,13 +114,14 @@ def chunk_items(
             headings[level] = text
             continue
         ctx = tuple(headings[lv] for lv in sorted(headings))
-        annotated.append((ctx, label, text, count_tokens(text)))
+        span = (int(sp.get("start", -1)), int(sp.get("end", -1)))
+        annotated.append((ctx, label, text, count_tokens(text), span))
 
     # --- C3: greedy accumulation, tables standalone, oversize split
     chunks: list[dict] = []
 
     def emit(ctx: tuple[str, ...], parts: list[str], tokens: int,
-             is_table: bool) -> None:
+             is_table: bool, span: tuple[int, int]) -> None:
         body = "\n".join(parts)
         text = "\n".join([*ctx, body]) if ctx else body
         chunks.append(
@@ -124,28 +131,37 @@ def chunk_items(
                 "n_tokens": count_tokens(text),
                 "body_tokens": tokens,
                 "is_table": is_table,
+                "span": span,
             }
         )
+
+    def merge_span(a: tuple[int, int], b: tuple[int, int]) -> tuple[int, int]:
+        if a[0] < 0:
+            return b
+        if b[0] < 0:
+            return a
+        return (min(a[0], b[0]), max(a[1], b[1]))
 
     cur_ctx: tuple[str, ...] | None = None
     cur_parts: list[str] = []
     cur_tokens = 0
+    cur_span: tuple[int, int] = (-1, -1)
 
     def flush() -> None:
-        nonlocal cur_parts, cur_tokens
+        nonlocal cur_parts, cur_tokens, cur_span
         if cur_parts:
-            emit(cur_ctx or (), cur_parts, cur_tokens, False)
-        cur_parts, cur_tokens = [], 0
+            emit(cur_ctx or (), cur_parts, cur_tokens, False, cur_span)
+        cur_parts, cur_tokens, cur_span = [], 0, (-1, -1)
 
-    for ctx, label, text, tokens in annotated:
+    for ctx, label, text, tokens, span in annotated:
         if label == TABLE:
             # reference: a table is always its own chunk (:627-653)
             flush()
             if tokens > table_split_tokens:
                 for piece in _split_oversize(text, table_split_tokens):
-                    emit(ctx, [piece], count_tokens(piece), True)
+                    emit(ctx, [piece], count_tokens(piece), True, span)
             else:
-                emit(ctx, [text], tokens, True)
+                emit(ctx, [text], tokens, True, span)
             cur_ctx = ctx
             continue
         if ctx != cur_ctx:
@@ -155,12 +171,13 @@ def chunk_items(
         if tokens > max_tokens:
             flush()
             for piece in _split_oversize(text, max_tokens):
-                emit(ctx, [piece], count_tokens(piece), False)
+                emit(ctx, [piece], count_tokens(piece), False, span)
             continue
         if cur_parts and cur_tokens + tokens > max_tokens:
             flush()
         cur_parts.append(text)
         cur_tokens += tokens
+        cur_span = merge_span(cur_span, span)
     flush()
 
     # --- C4: merge small chunks forward while the pair stays ≤ max and
@@ -184,12 +201,20 @@ def chunk_items(
             body = (
                 c["text"][len(prefix):] + "\n" + nxt["text"][len(prefix):]
             )
+            sa, sb = c["span"], nxt["span"]
+            if sa[0] < 0:
+                merged_span = sb
+            elif sb[0] < 0:
+                merged_span = sa
+            else:
+                merged_span = (min(sa[0], sb[0]), max(sa[1], sb[1]))
             c = {
                 "text": prefix + body,
                 "headings": c["headings"],
                 "n_tokens": count_tokens(prefix + body),
                 "body_tokens": c["body_tokens"] + nxt["body_tokens"],
                 "is_table": False,
+                "span": merged_span,
             }
             del chunks[i + 1]
         merged.append(c)
@@ -228,6 +253,8 @@ def chunk_batch(batch: pa.Table, *, max_tokens: int = 2000,
             cols["n_word"].append(n_words(ch["text"]))
             cols["n_line"].append(n_lines(ch["text"]))
             cols["is_table"].append(ch["is_table"])
+            cols["span_start"].append(ch["span"][0])
+            cols["span_end"].append(ch["span"][1])
     return pa.table(
         {name: pa.array(cols[name], CHUNK_SCHEMA.field(name).type)
          for name in CHUNK_SCHEMA.names},

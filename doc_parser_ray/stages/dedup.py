@@ -109,37 +109,39 @@ def lsh_band_keys(sig: np.ndarray, bands: int) -> list[str]:
     return keys
 
 
-class _MinhashBands:
-    """Actor-pool batch UDF: state (permutation tables) built once per
-    actor in __init__, per-batch work vectorized."""
+# per-worker-process hasher cache: permutation tables built once per
+# worker (keyed by num_perm) — stateful setup without actor-pool
+# startup cost on every short query
+_HASHER_CACHE: dict[int, MinHasher] = {}
 
-    def __init__(self, num_perm: int, bands: int, k: int,
-                 id_col: str, text_col: str):
-        self.hasher = MinHasher(num_perm=num_perm)
-        self.bands = bands
-        self.k = k
-        self.id_col = id_col
-        self.text_col = text_col
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch.column(self.id_col).to_pylist()
-        texts = batch.column(self.text_col).to_pylist()
-        out_ids, out_band, out_sig = [], [], []
-        for i, t in zip(ids, texts):
-            sh = _shingles(t or "", self.k)
-            sig = self.hasher.signature(sh)
-            sig_bytes = sig.tobytes()
-            for key in lsh_band_keys(sig, self.bands):
-                out_ids.append(i)
-                out_band.append(key)
-                out_sig.append(sig_bytes)
-        return pa.table(
-            {
-                self.id_col: pa.array(out_ids),
-                "band_key": pa.array(out_band, pa.string()),
-                "minhash_sig": pa.array(out_sig, pa.binary()),
-            }
-        )
+def _worker_hasher(num_perm: int) -> MinHasher:
+    if num_perm not in _HASHER_CACHE:
+        _HASHER_CACHE[num_perm] = MinHasher(num_perm=num_perm)
+    return _HASHER_CACHE[num_perm]
+
+
+def _minhash_bands_batch(batch: pa.Table, num_perm: int, bands: int, k: int,
+                         id_col: str, text_col: str) -> pa.Table:
+    hasher = _worker_hasher(num_perm)
+    ids = batch.column(id_col).to_pylist()
+    texts = batch.column(text_col).to_pylist()
+    out_ids, out_band, out_sig = [], [], []
+    for i, t in zip(ids, texts):
+        sh = _shingles(t or "", k)
+        sig = hasher.signature(sh)
+        sig_bytes = sig.tobytes()
+        for key in lsh_band_keys(sig, bands):
+            out_ids.append(i)
+            out_band.append(key)
+            out_sig.append(sig_bytes)
+    return pa.table(
+        {
+            id_col: pa.array(out_ids, batch.column(id_col).type),
+            "band_key": pa.array(out_band, pa.string()),
+            "minhash_sig": pa.array(out_sig, pa.binary()),
+        }
+    )
 
 
 def _partitioned_bucket_pairs(ds, key_col: str, id_col: str,
@@ -225,18 +227,16 @@ def _minhash_bucket_pairs(group: pa.Table, id_col: str, threshold: float,
 
 def minhash_lsh_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
                       num_perm: int = 64, bands: int = 16, k: int = 3,
-                      threshold: float = 0.5, concurrency=(1, 8),
-                      num_partitions: int = 32):
+                      threshold: float = 0.5, num_partitions: int = 32):
     """Near-duplicate candidate pairs: shingle → minhash → band →
     bounded-partition bucket groupby → in-bucket pairing. The shuffle
     carries only (id, band_key, signature); bucket sizes are tiny for
     non-degenerate corpora (a hot bucket == a true duplicate cluster).
     """
     banded = ds.select_columns([id_col, text_col]).map_batches(
-        _MinhashBands,
-        fn_constructor_args=(num_perm, bands, k, id_col, text_col),
+        lambda b: _minhash_bands_batch(b, num_perm, bands, k, id_col,
+                                       text_col),
         batch_format="pyarrow",
-        concurrency=concurrency,
         zero_copy_batch=True,
     )
     pairs = _partitioned_bucket_pairs(

@@ -121,6 +121,17 @@ class TestChunkBatch:
             }
         )
 
+    def test_span_provenance(self):
+        # an unsplit chunk's body must equal the extracted_text slice
+        # of its span (chunk_bboxes analog)
+        batch = self._batch([("text", "alpha beta"), ("text", "gamma")])
+        out = chunk_batch(batch, max_tokens=100)
+        assert out.num_rows == 1
+        full = batch.column("extracted_text").to_pylist()[0]
+        s = out.column("span_start").to_pylist()[0]
+        e = out.column("span_end").to_pylist()[0]
+        assert full[s:e] == out.column("chunk_text").to_pylist()[0]
+
     def test_counters_per_turn(self):
         batch = self._batch(
             [("text", "tok " * 30), ("text", "tok " * 30)]
