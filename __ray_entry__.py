@@ -306,6 +306,15 @@ def oracle_sql() -> dict[str, str]:
                        || CAST(doc_id % 3 AS VARCHAR) AS authors
             FROM m ORDER BY doc_id
         """,
+        "dedup_embedding": """
+            WITH e AS (SELECT vec_id, embedding FROM embeddings)
+            SELECT a.vec_id AS left_id, b.vec_id AS right_id,
+                   ROUND(list_cosine_similarity(a.embedding, b.embedding),
+                         3) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+            ORDER BY left_id, right_id
+        """,
         "media_decode": """
             WITH m AS (SELECT range AS media_id FROM range(300))
             SELECT media_id,

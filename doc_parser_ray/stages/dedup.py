@@ -539,33 +539,36 @@ def ngram_jaccard_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
 # ------------------------------------------------- embedding near-dup
 
 
-class _EmbeddingDedupBuckets:
-    """Cosine near-dup via random-hyperplane LSH (Charikar 2002):
-    sign-pattern buckets, then exact cosine within buckets."""
+# per-worker plane cache (random-hyperplane LSH, Charikar 2002) — same
+# task-based stateful-setup pattern as the minhash hasher above
+_PLANES_CACHE: dict[tuple, np.ndarray] = {}
 
-    def __init__(self, dim: int, n_planes: int, seed: int = 42):
+
+def _worker_planes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    key = (dim, n_planes, seed)
+    if key not in _PLANES_CACHE:
         rng = np.random.RandomState(seed)
-        self.planes = rng.randn(dim, n_planes).astype(np.float32)
+        _PLANES_CACHE[key] = rng.randn(dim, n_planes).astype(np.float32)
+    return _PLANES_CACHE[key]
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        emb = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float32)
-        signs = (emb @ self.planes) >= 0
-        keys = [
-            "".join("1" if s else "0" for s in row) for row in signs
-        ]
-        return batch.append_column("bucket_key", pa.array(keys, pa.string()))
+
+def _embedding_bucket_batch(batch: pa.Table, dim: int,
+                            n_planes: int) -> pa.Table:
+    planes = _worker_planes(dim, n_planes)
+    emb = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float32)
+    signs = (emb @ planes) >= 0
+    keys = ["".join("1" if s else "0" for s in row) for row in signs]
+    return batch.append_column("bucket_key", pa.array(keys, pa.string()))
 
 
 def embedding_dedup_pairs(ds, *, id_col: str = "vec_id", dim: int = 64,
-                          n_planes: int = 8, threshold: float = 0.95,
-                          concurrency=(1, 4)):
+                          n_planes: int = 8, threshold: float = 0.95):
     """Near-identical embedding pairs: hyperplane-LSH bucket groupby +
     exact cosine verification inside buckets."""
     bucketed = ds.map_batches(
-        _EmbeddingDedupBuckets,
-        fn_constructor_args=(dim, n_planes),
+        lambda b: _embedding_bucket_batch(b, dim, n_planes),
         batch_format="pyarrow",
-        concurrency=concurrency,
+        zero_copy_batch=True,
     )
 
     def verify(group: pa.Table, empty: bool = False) -> pa.Table:
