@@ -52,6 +52,7 @@ class Item:
     level: int = 0  # heading level (1..6) or list nesting depth
     marker: str = ""  # list marker, e.g. "-" or "3."
     content_layer: str = BODY
+    group: int = 0  # enclosing group id (separates sibling lists on export)
 
 
 @dataclass

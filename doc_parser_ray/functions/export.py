@@ -80,6 +80,85 @@ def to_doctags(items) -> str:
     return "\n".join(parts)
 
 
+def items_to_markdown(items) -> str:
+    """Docling-compatible markdown export over raw ``Item`` objects —
+    byte-matches the reference's committed HTML groundtruth
+    (/root/reference/tests/data/groundtruth/docling_v2/*.html.md) for
+    list/heading/paragraph/image content; tables render as an aligned
+    github grid (docling uses ``tabulate``, whose numeric-column
+    alignment we don't replicate — table goldens compare
+    whitespace-normalized in tests/test_reference_goldens.py).
+
+    Rules: FURNITURE excluded; TITLE → "# "; SECTION_HEADER level L →
+    (L+1) #'s; consecutive list items grouped with single newlines and
+    indented 4 spaces per nesting depth beyond the first; pictures →
+    ``<!-- image -->``; blocks joined with blank lines.
+    """
+    from doc_parser_ray.datamodel import (
+        BODY as _BODY,
+        PICTURE as _PICTURE,
+    )
+
+    def esc(t: str) -> str:
+        # docling's markdown serializer escapes these in prose items
+        return t.replace("&", "&amp;").replace("_", "\\_")
+
+    blocks: list[str] = []
+    list_run: list[str] = []
+    last_top_group: int | None = None
+
+    def flush_list() -> None:
+        if list_run:
+            blocks.append("\n".join(list_run))
+            list_run.clear()
+
+    for it in items:
+        if it.content_layer != _BODY:
+            continue
+        if it.label == LIST_ITEM:
+            if it.level <= 1:
+                # a SIBLING list (different group) starts a new block
+                if last_top_group is not None and it.group != last_top_group:
+                    flush_list()
+                last_top_group = it.group
+            indent = "    " * max(it.level - 1, 0)
+            body = esc(it.text)
+            text = f"{it.marker} {body}" if it.marker else body
+            list_run.append(indent + text)
+            continue
+        last_top_group = None
+        flush_list()
+        if it.label == _PICTURE:
+            blocks.append("<!-- image -->")
+        elif it.label == TITLE:
+            blocks.append(f"# {esc(it.text)}")
+        elif it.label == SECTION_HEADER:
+            blocks.append("#" * (max(it.level, 1) + 1) + f" {esc(it.text)}")
+        elif it.label == CODE:
+            blocks.append(f"```\n{it.text}\n```")
+        elif it.label == TABLE:
+            blocks.append(_md_table(it.text))
+        elif it.text:
+            blocks.append(esc(it.text))
+    flush_list()
+    return "\n\n".join(blocks)
+
+
+def _md_table(text: str) -> str:
+    """Aligned github-style grid from our ' | '-joined table text."""
+    rows = [r.split(" | ") for r in text.split("\n")]
+    n_cols = max(len(r) for r in rows)
+    rows = [r + [""] * (n_cols - len(r)) for r in rows]
+    widths = [max(len(r[c]) for r in rows) for c in range(n_cols)]
+    out = []
+    for i, r in enumerate(rows):
+        out.append("| " + " | ".join(
+            cell.ljust(w) for cell, w in zip(r, widths)) + " |")
+        if i == 0:
+            out.append("|" + "|".join("-" * (w + 2) for w in widths) + "|")
+    return "\n".join(out)
+
+
 _RENDERERS = {
     "markdown": to_markdown,
     "text": to_text,

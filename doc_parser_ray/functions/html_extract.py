@@ -222,6 +222,19 @@ def _fast_build_dom(payload: str) -> _Node:
                 raise _FastTokenizeError("bad start tag")
             name = m.group(1).lower()
             raw_attrs = m.group(2)
+            # a '>' inside a quoted attribute value does NOT close the
+            # tag for the stdlib parser — refuse unbalanced quotes so
+            # the fallback handles those tags
+            i = 0
+            while i < len(raw_attrs):
+                ch = raw_attrs[i]
+                if ch in "\"'":
+                    j = raw_attrs.find(ch, i + 1)
+                    if j < 0:
+                        raise _FastTokenizeError("quote spans tag end")
+                    i = j + 1
+                else:
+                    i += 1
             self_closing = raw_attrs.rstrip().endswith("/")
             attrs = (_parse_attrs(raw_attrs.rstrip().rstrip("/"))
                      if name in _ATTR_TAGS and raw_attrs.strip("/ \t\r\n")
@@ -317,6 +330,9 @@ class _Extractor:
         self.list_ordered_by_id: dict[int, bool] = {}
         self.list_start_by_id: dict[int, int] = {}
         self._group_seq = 0
+        # enclosing ul/ol count — list items carry this as their level
+        # (drives markdown-export indentation, 4 spaces per depth)
+        self.list_depth = 0
 
     def _new_group(self, kind: str) -> dict:
         self._group_seq += 1
@@ -326,10 +342,11 @@ class _Extractor:
         if parent is not None:
             parent["n_children"] += 1
 
-    def _emit(self, label: str, text: str, level: int = 0, marker: str = "") -> None:
+    def _emit(self, label: str, text: str, level: int = 0, marker: str = "",
+              group: int = 0) -> None:
         self.items.append(
             Item(label=label, text=text, level=level, marker=marker,
-                 content_layer=self.content_layer)
+                 content_layer=self.content_layer, group=group)
         )
 
     # --- walk ---------------------------------------------------------
@@ -440,7 +457,9 @@ class _Extractor:
         group["num_base"] = start if start is not None else 1
 
         self.level += 1
+        self.list_depth += 1
         self.walk(tag)
+        self.list_depth -= 1
         self.parents[self.level + 1] = None
         self.level -= 1
 
@@ -467,7 +486,8 @@ class _Extractor:
             text = " ".join(text.split()).strip()
             if text:
                 item_group = self._new_group("list_item")
-                self._emit(LIST_ITEM, text, level=self.level, marker=marker)
+                self._emit(LIST_ITEM, text, level=self.list_depth,
+                           marker=marker, group=parent["id"])
                 self._add_child(parent)
                 self.parents[self.level + 1] = item_group
                 self.level += 1
@@ -479,7 +499,8 @@ class _Extractor:
         else:
             text = _text_of(tag).strip()
             if text:
-                self._emit(LIST_ITEM, text, level=self.level, marker=marker)
+                self._emit(LIST_ITEM, text, level=self.list_depth,
+                           marker=marker, group=parent["id"])
                 self._add_child(parent)
 
     def handle_table(self, tag: _Node) -> None:
