@@ -145,15 +145,40 @@ def items_to_markdown(items) -> str:
 
 
 def _md_table(text: str) -> str:
-    """Aligned github-style grid from our ' | '-joined table text."""
+    """Aligned github-style grid from our ' | '-joined table text.
+
+    Width/alignment rules reverse-engineered from the reference's
+    tabulate-produced goldens: column width = max(longest body cell,
+    header length + 2); all-numeric body columns right-align (header
+    included)."""
     rows = [r.split(" | ") for r in text.split("\n")]
     n_cols = max(len(r) for r in rows)
     rows = [r + [""] * (n_cols - len(r)) for r in rows]
-    widths = [max(len(r[c]) for r in rows) for c in range(n_cols)]
+    header, body = rows[0], rows[1:]
+
+    def _numeric(c: int) -> bool:
+        vals = [r[c] for r in body if r[c]]
+        if not vals:
+            return False
+        try:
+            for v in vals:
+                float(v)
+            return True
+        except ValueError:
+            return False
+
+    widths, aligns = [], []
+    for c in range(n_cols):
+        cell_w = max((len(r[c]) for r in body), default=0)
+        widths.append(max(cell_w, len(header[c]) + 2))
+        aligns.append("r" if _numeric(c) else "l")
     out = []
     for i, r in enumerate(rows):
-        out.append("| " + " | ".join(
-            cell.ljust(w) for cell, w in zip(r, widths)) + " |")
+        cells = [
+            (cell.rjust(w) if a == "r" else cell.ljust(w))
+            for cell, w, a in zip(r, widths, aligns)
+        ]
+        out.append("| " + " | ".join(cells) + " |")
         if i == 0:
             out.append("|" + "|".join("-" * (w + 2) for w in widths) + "|")
     return "\n".join(out)

@@ -47,11 +47,13 @@ from doc_parser_ray.datamodel import (
 from doc_parser_ray.functions.html_extract import extract_html
 
 _HEADING_RE = re.compile(r"^(#{1,6})\s+(.*?)\s*#*\s*$")
-_ULIST_RE = re.compile(r"^(\s*)[-*+]\s+(.*)$")
+_ULIST_RE = re.compile(r"^(\s*)([-*+])\s+(.*)$")
 _OLIST_RE = re.compile(r"^(\s*)(\d+)[.)]\s+(.*)$")
 _FENCE_RE = re.compile(r"^(\s*)(```+|~~~+)\s*(\S*)\s*$")
 _TABLE_SEP_RE = re.compile(r"^\s*\|?\s*:?-{2,}:?\s*(\|\s*:?-{2,}:?\s*)*\|?\s*$")
 _HTML_BLOCK_RE = re.compile(r"^\s*<(/?)(\w+)")
+_OLIST_TEXT_RE = re.compile(r"^(\d+)[.)]\s+(.*)$")
+_BARE_MARKER_RE = re.compile(r"[-*+]|\d+[.)]|#{1,6}")
 
 _CODE_SPAN_RE = re.compile(r"`([^`]*)`")
 _IMAGE_RE = re.compile(r"!\[([^\]]*)\]\(([^)]*)\)")
@@ -87,15 +89,19 @@ def extract_markdown(payload: str) -> ParseResult:
         lines = payload.split("\n")
         i = 0
         n = len(lines)
-        # ordered-list numbering state per indent level
-        ol_counter: dict[int, int] = {}
+        # list state: indent stack (depth), group ids, per-group counters
+        indent_stack: list[int] = []
+        group_stack: list[int] = []
+        group_seq = 0
+        ol_counter: dict[tuple[int, int], int] = {}
+        ul_symbol: dict[int, str] = {}
+        saw_html_block = False
 
         while i < n:
             line = lines[i]
             stripped = line.strip()
 
             if not stripped:
-                ol_counter.clear()
                 i += 1
                 continue
 
@@ -119,11 +125,25 @@ def extract_markdown(payload: str) -> ParseResult:
             if m:
                 level = len(m.group(1))
                 text = _resolve_inline(m.group(2))
-                if level == 1:
-                    items.append(Item(label=TITLE, text=text, level=1))
-                else:
-                    items.append(Item(label=SECTION_HEADER, text=text, level=level - 1))
-                ol_counter.clear()
+                # empty headings are dropped (groundtruth blocks.md.md)
+                if text:
+                    if level == 1:
+                        items.append(Item(label=TITLE, text=text, level=1))
+                    else:
+                        items.append(
+                            Item(label=SECTION_HEADER, text=text,
+                                 level=level - 1))
+                indent_stack.clear()
+                group_seq += 1
+                i += 1
+                continue
+
+            # HTML comment block → contributes nothing (marko HTML block
+            # → html backend drops comments; mixed_without_h1.md.md)
+            if stripped.startswith("<!--"):
+                saw_html_block = True
+                while i < n and "-->" not in lines[i]:
+                    i += 1
                 i += 1
                 continue
 
@@ -134,6 +154,7 @@ def extract_markdown(payload: str) -> ParseResult:
                 while i < n and lines[i].strip():
                     buf.append(lines[i])
                     i += 1
+                saw_html_block = True
                 sub = extract_html("\n".join(buf))
                 items.extend(sub.items)
                 continue
@@ -147,37 +168,85 @@ def extract_markdown(payload: str) -> ParseResult:
                     rows.append(_split_table_row(lines[i]))
                     i += 1
                 width = max(len(r) for r in rows)
+                # NOT .strip(): a leading empty cell starts the text
+                # with " | " and stripping would corrupt cell alignment
                 txt = "\n".join(
                     " | ".join(r + [""] * (width - len(r))) for r in rows
-                ).strip()
-                items.append(Item(label=TABLE, text=txt))
+                )
+                if txt.strip():
+                    items.append(Item(label=TABLE, text=txt))
                 continue
 
-            # list items
+            # list items (depth from a dynamic indent stack; ordered
+            # markers RENUMBER from 1 per group — the reference's md
+            # backend does not record source numbering, its serializer
+            # enumerates: groundtruth mixed_without_h1.md.md renders a
+            # source "2." as "1.")
             m = _ULIST_RE.match(line)
-            if m:
-                indent = len(m.group(1))
-                depth = indent // 2 + 1
-                text = _resolve_inline(m.group(2))
-                if text:
-                    items.append(Item(label=LIST_ITEM, text=text, level=depth, marker="-"))
+            om = None if m else _OLIST_RE.match(line)
+            if m or om:
+                indent = len((m or om).group(1))
+                while indent_stack and indent < indent_stack[-1]:
+                    indent_stack.pop()
+                    group_stack.pop()
+                    ul_symbol.pop(len(indent_stack) + 1, None)
+                if not indent_stack or indent > indent_stack[-1]:
+                    indent_stack.append(indent)
+                    group_seq += 1
+                    group_stack.append(group_seq)
+                depth = len(indent_stack)
+                group = group_stack[-1]
+                if m:
+                    # a marker-symbol change (- vs * vs +) starts a NEW
+                    # list at the same depth (marko; nested.md.md)
+                    sym = m.group(2)
+                    sym_key = depth
+                    if ul_symbol.get(sym_key) not in (None, sym):
+                        group_seq += 1
+                        group = group_seq
+                        group_stack[-1] = group
+                    ul_symbol[sym_key] = sym
+                    text = _resolve_inline(m.group(3))
+                    marker = "-"
+                    # "- 2. strange": a leading ordered marker inside a
+                    # bullet opens a NESTED enumerated list (marko
+                    # behavior, groundtruth mixed_without_h1.md.md)
+                    im = _OLIST_TEXT_RE.match(text) if text else None
+                    if im:
+                        depth += 1
+                        group_seq += 1
+                        group = group_seq
+                        ol_counter[(depth, group)] = 1
+                        text = _resolve_inline(im.group(2))
+                        marker = "1."
+                else:
+                    key = (depth, group)
+                    ol_counter[key] = ol_counter.get(key, 0) + 1
+                    text = _resolve_inline(om.group(3))
+                    marker = f"{ol_counter[key]}."
+                if text:  # empty list items are dropped (blocks.md.md)
+                    items.append(Item(label=LIST_ITEM, text=text,
+                                      level=depth, marker=marker,
+                                      group=group))
                 i += 1
                 continue
-            m = _OLIST_RE.match(line)
-            if m:
-                indent = len(m.group(1))
-                depth = indent // 2 + 1
-                if indent not in ol_counter:
-                    ol_counter[indent] = int(m.group(2))
-                else:
-                    ol_counter[indent] += 1
-                text = _resolve_inline(m.group(3))
-                if text:
-                    items.append(
-                        Item(label=LIST_ITEM, text=text, level=depth,
-                             marker=f"{ol_counter[indent]}.")
-                    )
-                i += 1
+
+            # a non-list line ends all open lists
+            if indent_stack:
+                indent_stack.clear()
+                group_stack.clear()
+                ul_symbol.clear()
+
+            # indented code block (4+ spaces after a blank line)
+            if (line.startswith("    ")
+                    and (i == 0 or not lines[i - 1].strip())):
+                buf = []
+                while i < n and (line := lines[i]).startswith("    "):
+                    buf.append(line[4:])
+                    i += 1
+                text = "\n".join(buf).strip()
+                if text:  # empty indented blocks dropped (blocks.md.md)
+                    items.append(Item(label=CODE, text=text))
                 continue
 
             # blockquote → treat content as text
@@ -194,13 +263,52 @@ def extract_markdown(payload: str) -> ParseResult:
                 i += 1
                 continue
 
-            # paragraph line → one TEXT item per line (see module docstring)
-            text = _resolve_inline(stripped)
+            # bare block markers (empty list item / heading / enum) are
+            # dropped — the reference emits nothing (blocks.md.md)
+            if _BARE_MARKER_RE.fullmatch(stripped):
+                i += 1
+                continue
+
+            # paragraph: soft-wrapped source lines join into ONE text
+            # item with spaces (markdown paragraph semantics — the
+            # reference's marko parse joins them; duck.md.md)
+            para = [stripped]
+            i += 1
+            while i < n:
+                nxt = lines[i]
+                ns = nxt.strip()
+                if (not ns or _HEADING_RE.match(ns) or _FENCE_RE.match(nxt)
+                        or _ULIST_RE.match(nxt) or _OLIST_RE.match(nxt)
+                        or _HTML_BLOCK_RE.match(nxt)
+                        or ns.startswith(("<!--", ">"))
+                        or _BARE_MARKER_RE.fullmatch(ns)
+                        or ("|" in ns and i + 1 < n
+                            and _TABLE_SEP_RE.match(lines[i + 1]))):
+                    break
+                para.append(ns)
+                i += 1
+            text = _resolve_inline(" ".join(para))
             if text:
                 items.append(Item(label=TEXT, text=text))
-            ol_counter.clear()
-            i += 1
 
+        # furniture/body split — applies ONLY when the document contains
+        # an HTML block: the reference's md backend then round-trips the
+        # WHOLE document through the HTML backend (md_backend.py:578-611),
+        # whose pre-first-heading furniture rule kicks in (groundtruth:
+        # mixed_without_h1.md.md drops its pre-heading paragraph, while
+        # blocks.md.md — no HTML blocks — keeps pre-heading content)
+        from doc_parser_ray.datamodel import FURNITURE
+
+        if saw_html_block and any(
+            it.label in (TITLE, SECTION_HEADER) for it in items
+        ):
+            for it in items:
+                if it.label in (TITLE, SECTION_HEADER):
+                    break
+                it.content_layer = FURNITURE
+
+        if not any(it.content_layer != FURNITURE or it.text for it in items):
+            return ParseResult(items=[], status=STATUS_EMPTY)
         if not items:
             return ParseResult(items=[], status=STATUS_EMPTY)
         return ParseResult(items=items, status=STATUS_OK)

@@ -27,7 +27,11 @@ class TestMarkdown:
     def test_lists(self):
         assert md_text("- a\n- b") == "- a\n- b"
         assert md_text("1. a\n2. b") == "1. a\n2. b"
-        assert md_text("3. a\n4. b") == "3. a\n4. b"
+        # ordered markers renumber from 1 per group: the reference's md
+        # backend records no source numbering and its serializer
+        # enumerates (groundtruth mixed_without_h1.md.md renders a
+        # source "2." as "1.")
+        assert md_text("3. a\n4. b") == "1. a\n2. b"
 
     def test_pipe_table(self):
         got = md_text("| a | b |\n|---|---|\n| 1 | 2 |")

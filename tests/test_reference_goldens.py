@@ -25,6 +25,16 @@ EXACT = [
 ]
 TABLE_NORMALIZED = ["example_08", "wiki_duck"]
 
+# markdown fixtures (md → our extractor → markdown export vs the
+# reference's groundtruth). inline_and_formatting is EXCLUDED: it tests
+# inline-formatting preservation (docling re-serializes *emphasis* /
+# `code` / [links](url)), which this engine deliberately resolves to
+# plain text (md_extract.py module docstring — main-content extraction)
+MD_EXACT = [
+    "blocks", "duck", "ending_with_table", "mixed", "mixed_without_h1",
+    "nested", "wiki",
+]
+
 requires_reference = pytest.mark.skipif(
     not os.path.isdir(FIXTURE_DIR), reason="reference repo not mounted"
 )
@@ -77,3 +87,17 @@ def test_wiki_duck_golden_exact_outside_tables():
 @pytest.mark.parametrize("name", TABLE_NORMALIZED)
 def test_table_normalized_golden(name):
     assert _norm_tables(_convert(name)) == _norm_tables(_golden(name))
+
+
+@requires_reference
+@pytest.mark.parametrize("name", MD_EXACT)
+def test_markdown_fixture_golden(name):
+    from doc_parser_ray.functions.md_extract import extract_markdown
+
+    with open(f"/root/reference/tests/data/md/{name}.md") as f:
+        src = f.read()
+    with open(f"{GOLDEN_DIR}/{name}.md.md") as f:
+        golden = f.read().strip()
+    res = extract_markdown(src)
+    assert res.status == "ok"
+    assert items_to_markdown(res.items).strip() == golden
