@@ -35,6 +35,15 @@ MD_EXACT = [
     "nested", "wiki",
 ]
 
+# csv fixtures: all byte-exact except csv-tab, whose golden reflects a
+# tabulate column-width quirk for cells containing literal tabs —
+# compared with normalized table rows
+CSV_EXACT = [
+    "csv-comma-in-cell", "csv-comma", "csv-inconsistent-header",
+    "csv-pipe", "csv-semicolon", "csv-too-few-columns",
+    "csv-too-many-columns",
+]
+
 requires_reference = pytest.mark.skipif(
     not os.path.isdir(FIXTURE_DIR), reason="reference repo not mounted"
 )
@@ -87,6 +96,32 @@ def test_wiki_duck_golden_exact_outside_tables():
 @pytest.mark.parametrize("name", TABLE_NORMALIZED)
 def test_table_normalized_golden(name):
     assert _norm_tables(_convert(name)) == _norm_tables(_golden(name))
+
+
+@requires_reference
+@pytest.mark.parametrize("name", CSV_EXACT)
+def test_csv_fixture_golden(name):
+    from doc_parser_ray.functions.csv_extract import extract_csv
+
+    with open(f"/root/reference/tests/data/csv/{name}.csv") as f:
+        src = f.read()
+    with open(f"{GOLDEN_DIR}/{name}.csv.md") as f:
+        golden = f.read().strip()
+    res = extract_csv(src)
+    assert res.status == "ok"
+    assert items_to_markdown(res.items).strip() == golden
+
+
+@requires_reference
+def test_csv_tab_normalized():
+    from doc_parser_ray.functions.csv_extract import extract_csv
+
+    with open("/root/reference/tests/data/csv/csv-tab.csv") as f:
+        src = f.read()
+    with open(f"{GOLDEN_DIR}/csv-tab.csv.md") as f:
+        golden = f.read().strip()
+    mine = items_to_markdown(extract_csv(src).items).strip()
+    assert _norm_tables(mine) == _norm_tables(golden)
 
 
 @requires_reference
