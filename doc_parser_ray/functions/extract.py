@@ -19,6 +19,7 @@ from doc_parser_ray.datamodel import (
     STATUS_PARSE_ERROR,
     ParseResult,
 )
+from doc_parser_ray.functions.asciidoc_extract import extract_asciidoc
 from doc_parser_ray.functions.csv_extract import extract_csv
 from doc_parser_ray.functions.html_extract import extract_html
 from doc_parser_ray.functions.md_extract import extract_markdown
@@ -41,6 +42,10 @@ def extract_payload(text: str, tool: str = "") -> tuple[str, ParseResult]:
             res = extract_plain_text(text)  # fallback chain
     elif fmt == "markdown":
         res = extract_markdown(text)
+        if res.status == STATUS_PARSE_ERROR:
+            res = extract_plain_text(text)
+    elif fmt == "asciidoc":
+        res = extract_asciidoc(text)
         if res.status == STATUS_PARSE_ERROR:
             res = extract_plain_text(text)
     elif fmt == "csv":

@@ -29,7 +29,7 @@ _MD_RE = re.compile(
     re.M,
 )
 
-VALID_TOOLS = {"html", "markdown", "text", "pdf", "csv"}
+VALID_TOOLS = {"html", "markdown", "text", "pdf", "csv", "asciidoc"}
 
 
 def sniff_format(text: str, tool: str = "") -> str:
