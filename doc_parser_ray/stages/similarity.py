@@ -25,42 +25,49 @@ def _unit(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
-class _BatchTopK:
-    """Actor-pool UDF: the query matrix is resolved from the object
-    store once per actor (broadcast), each batch does one matmul.
+# per-worker cache of the unit-normalized broadcast query matrix — the
+# task-based stateful-setup pattern (no actor-pool startup per query)
+_QUERY_CACHE: dict = {}
+
+
+def _worker_queries(queries_ref, dtype):
+    key = (queries_ref.hex() if hasattr(queries_ref, "hex")
+           else id(queries_ref), np.dtype(dtype).str)
+    if key not in _QUERY_CACHE:
+        q = (ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef)
+             else queries_ref)
+        _QUERY_CACHE[key] = (q[0], _unit(np.asarray(q[1], dtype=dtype)))
+    return _QUERY_CACHE[key]
+
+
+def _batch_topk(batch: pa.Table, queries_ref, k: int, id_col: str,
+                dtype=np.float64) -> pa.Table:
+    """The query matrix is resolved from the object store once per
+    worker (broadcast), each batch does one matmul.
 
     dtype float64 by default for oracle parity (DuckDB computes cosine in
     double); pass float32 for the at-scale memory/speed tradeoff."""
-
-    def __init__(self, queries_ref, k: int, id_col: str, dtype=np.float64):
-        q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
-        self.query_ids = q[0]
-        self.dtype = dtype
-        self.Q = _unit(np.asarray(q[1], dtype=dtype))  # (nq, d)
-        self.k = k
-        self.id_col = id_col
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch.column(self.id_col).to_pylist())
-        emb = _unit(np.asarray(batch.column("embedding").to_pylist(), dtype=self.dtype))
-        sims = self.Q @ emb.T  # (nq, nb)
-        # over-fetch k + nq per batch: self-matches are excluded later in
-        # the reduce, and each batch can contain up to nq of them
-        k = min(self.k + len(self.query_ids), sims.shape[1])
-        idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]
-        out_q, out_id, out_s = [], [], []
-        for qi in range(sims.shape[0]):
-            for j in idx[qi]:
-                out_q.append(self.query_ids[qi])
-                out_id.append(ids[j])
-                out_s.append(float(sims[qi, j]))
-        return pa.table(
-            {
-                "query_id": pa.array(out_q),
-                self.id_col: pa.array(out_id),
-                "cosine": pa.array(out_s, pa.float64()),
-            }
-        )
+    query_ids, Q = _worker_queries(queries_ref, dtype)
+    ids = np.asarray(batch.column(id_col).to_pylist())
+    emb = _unit(np.asarray(batch.column("embedding").to_pylist(), dtype=dtype))
+    sims = Q @ emb.T  # (nq, nb)
+    # over-fetch k + nq per batch: self-matches are excluded later in
+    # the reduce, and each batch can contain up to nq of them
+    kk = min(k + len(query_ids), sims.shape[1])
+    idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+    out_q, out_id, out_s = [], [], []
+    for qi in range(sims.shape[0]):
+        for j in idx[qi]:
+            out_q.append(query_ids[qi])
+            out_id.append(ids[j])
+            out_s.append(float(sims[qi, j]))
+    return pa.table(
+        {
+            "query_id": pa.array(out_q),
+            id_col: pa.array(out_id),
+            "cosine": pa.array(out_s, pa.float64()),
+        }
+    )
 
 
 def knn_cosine(ds, query_ids, query_vecs, *, k: int = 10,
@@ -75,10 +82,9 @@ def knn_cosine(ds, query_ids, query_vecs, *, k: int = 10,
     """
     queries_ref = ray.put((list(query_ids), np.asarray(query_vecs, dtype=dtype)))
     cand = ds.select_columns([id_col, "embedding"]).map_batches(
-        _BatchTopK,
-        fn_constructor_args=(queries_ref, k, id_col, dtype),
+        lambda b: _batch_topk(b, queries_ref, k, id_col, dtype),
         batch_format="pyarrow",
-        concurrency=concurrency,
+        zero_copy_batch=True,
     )
     # Collect per-batch candidates (nq x k x n_blocks rows — tiny) and do
     # one deterministic global sort; ties broken by smaller id so results
@@ -131,15 +137,14 @@ def train_centroids(ds, *, n_centroids: int = 16, sample_size: int = 2048,
     return cent
 
 
-class _AssignBucket:
-    def __init__(self, centroids_ref):
-        c = ray.get(centroids_ref) if isinstance(centroids_ref, ray.ObjectRef) else centroids_ref
-        self.cent = c
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        emb = _unit(np.asarray(batch.column("embedding").to_pylist(), dtype=np.float32))
-        assign = np.argmax(emb @ self.cent.T, axis=1).astype(np.int32)
-        return batch.append_column("ivf_bucket", pa.array(assign, pa.int32()))
+def _assign_bucket(batch: pa.Table, centroids_ref) -> pa.Table:
+    # centroid matrix read zero-copy from the object store per task
+    cent = (ray.get(centroids_ref)
+            if isinstance(centroids_ref, ray.ObjectRef) else centroids_ref)
+    emb = _unit(np.asarray(batch.column("embedding").to_pylist(),
+                           dtype=np.float32))
+    assign = np.argmax(emb @ cent.T, axis=1).astype(np.int32)
+    return batch.append_column("ivf_bucket", pa.array(assign, pa.int32()))
 
 
 def knn_cosine_ivf(ds, query_ids, query_vecs, *, k: int = 10,
@@ -152,8 +157,8 @@ def knn_cosine_ivf(ds, query_ids, query_vecs, *, k: int = 10,
     cent = train_centroids(ds, n_centroids=n_centroids)
     cent_ref = ray.put(cent)
     bucketed = ds.select_columns([id_col, "embedding"]).map_batches(
-        _AssignBucket, fn_constructor_args=(cent_ref,),
-        batch_format="pyarrow", concurrency=concurrency,
+        lambda b: _assign_bucket(b, cent_ref),
+        batch_format="pyarrow", zero_copy_batch=True,
     )
     Q = _unit(np.asarray(query_vecs, dtype=np.float32))
     probes = np.argsort(-(Q @ cent.T), axis=1)[:, :n_probe]  # (nq, n_probe)
