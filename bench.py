@@ -200,6 +200,22 @@ def main() -> None:
         }))
         return
 
+    # generate the corpus (if missing) in its OWN Ray session: heavy
+    # prior executions measurably degrade later shuffles/maps within a
+    # session (see BASELINE.md §4 pipeline-shape notes), so generation
+    # must not share the session that gets measured
+    path, _ = bench_corpus_path(args.sf_dir, args.mult)
+    if not os.path.exists(os.path.join(path, "_DONE")):
+        subprocess.run(
+            [sys.executable, "-c",
+             "import ray, bench, os, sys; "
+             "ray.init(address='local', num_cpus=32, "
+             "include_dashboard=False, log_to_driver=False); "
+             f"bench.ensure_corpus({args.sf_dir!r}, {args.mult}); "
+             "ray.shutdown()"],
+            cwd=os.path.dirname(os.path.abspath(__file__)), check=True,
+        )
+
     import ray
 
     if not ray.is_initialized():
