@@ -21,9 +21,11 @@ GOLDEN_DIR = "/root/reference/tests/data/groundtruth/docling_v2"
 
 EXACT = [
     "example_01", "example_02", "example_03", "example_04", "example_05",
-    "example_06", "example_07", "unit_test_01", "wiki_duck",
+    "example_06", "example_07", "example_08", "unit_test_01", "wiki_duck",
 ]
-TABLE_NORMALIZED = ["example_08", "wiki_duck"]
+# wiki_duck's one remaining table differs by a single column width (a
+# docling cell keeps a trailing space from a stripped hidden element)
+TABLE_NORMALIZED = ["wiki_duck"]
 
 # markdown fixtures (md → our extractor → markdown export vs the
 # reference's groundtruth). inline_and_formatting is EXCLUDED: it tests
