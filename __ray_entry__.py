@@ -244,7 +244,10 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn = 1 ORDER BY event_id
         """,
         "extract_roundtrip": """
-            SELECT doc_id, TRIM(text) AS extracted_text
+            SELECT doc_id,
+                   CASE WHEN doc_id % 6 = 4
+                        THEN 'text | k' || chr(10) || TRIM(text) || ' | x'
+                        ELSE TRIM(text) END AS extracted_text
             FROM documents ORDER BY doc_id
         """,
         "dedup_exact": r"""

@@ -428,11 +428,11 @@ def media_pipeline(sf_dir: str, n: int = 150) -> pa.Table:
 
 def extract_roundtrip(sf_dir: str) -> pa.Table:
     """SQL-verifiable extraction correctness: wrap each document's text
-    into HTML / markdown / plain / PDF (by doc_id % 4), run the real
-    extraction stage, return (doc_id, extracted_text). For these
-    wrappers extraction must reproduce trim(text) exactly — the DuckDB
-    oracle — proving the four parser paths through the driver's
-    value-hash gate."""
+    into HTML / markdown / plain / PDF / CSV / AsciiDoc (by doc_id % 6),
+    run the real extraction stage, return (doc_id, extracted_text). The
+    DuckDB oracle knows the expected extraction per wrapper (trim(text)
+    for five of them; header + newline + text for CSV), proving all six
+    parser paths through the driver's value-hash gate."""
 
     def wrap(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
@@ -440,7 +440,7 @@ def extract_roundtrip(sf_dir: str) -> pa.Table:
         payloads, tools = [], []
         for i, t in zip(ids, texts):
             t = (t or "").strip()
-            m = i % 4
+            m = i % 6
             if m == 0:
                 # script/style boilerplate must vanish; no headings → all
                 # body, so the oracle is exactly trim(text)
@@ -454,9 +454,18 @@ def extract_roundtrip(sf_dir: str) -> pa.Table:
             elif m == 2:
                 payloads.append(t)
                 tools.append("text")
-            else:
+            elif m == 3:
                 payloads.append(base64.b64encode(simple_text_pdf([t])).decode())
                 tools.append("pdf")
+            elif m == 4:
+                # two columns so the dialect sniffer sees a delimiter;
+                # document text is comma-free (checked per-sf), so the
+                # oracle can reconstruct the grid exactly
+                payloads.append(f"text,k\n{t},x")
+                tools.append("csv")
+            else:
+                payloads.append(t)
+                tools.append("asciidoc")
         n = len(ids)
         return pa.table(
             {
