@@ -110,8 +110,9 @@ def run_queries(sf_dir: str) -> dict[str, float]:
 
     names = [
         "q1_pricing_summary", "q3_top_orders", "q_orders_monthly",
-        "extract_roundtrip", "dedup_exact", "dedup_minhash",
-        "text_quality", "knn_cosine",
+        "q_sessionize", "q_asof_join",
+        "extract_roundtrip", "dedup_exact", "dedup_minhash", "dedup_ngram",
+        "text_quality", "knn_cosine", "media_decode",
     ]
     qs = E.queries()
     times: dict[str, float] = {}

@@ -419,7 +419,14 @@ def ngram_jaccard_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
         sigs, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
 
-    # 2. inverted index: (shingle, id), hash-partitioned
+    # 2. inverted index: (shingle, id), hash-partitioned. PREFIX
+    # FILTERING (exact): two sets with Jaccard ≥ t must share a shingle
+    # within their first |S| - ceil(t*|S|) + 1 elements under ANY
+    # consistent global order (Chaudhuri/Ganti/Kaushik 2006; hash order
+    # here — sigs are stored sorted). Indexing only prefixes keeps full
+    # recall while shrinking hot buckets quadratically.
+    import math
+
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
         blobs = batch.column("sig").to_pylist()
@@ -427,6 +434,9 @@ def ngram_jaccard_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
         o_id: list = []
         for i, blob in zip(ids, blobs):
             arr = np.frombuffer(blob, dtype=np.uint64)
+            n_sh = len(arr)
+            prefix = n_sh - math.ceil(threshold * n_sh) + 1
+            arr = arr[:max(prefix, 0)]
             o_sh.append(arr)
             o_id.extend([i] * len(arr))
         sh = (np.concatenate(o_sh) if o_sh else
@@ -513,13 +523,26 @@ def ngram_jaccard_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
 
     def verify(batch: pa.Table) -> pa.Table:
         sigs_local = _ray.get(sig_ref)
+        decoded: dict = {}
+
+        def sig_of(x):
+            s = decoded.get(x)
+            if s is None:
+                s = decoded[x] = np.frombuffer(sigs_local[x],
+                                               dtype=np.uint64)
+            return s
+
         lefts = batch.column("left_id").to_pylist()
         rights = batch.column("right_id").to_pylist()
         l_o, r_o, j_o = [], [], []
         for a, b in zip(lefts, rights):
-            sa = np.frombuffer(sigs_local[a], dtype=np.uint64)
-            sb = np.frombuffer(sigs_local[b], dtype=np.uint64)
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            sa, sb = sig_of(a), sig_of(b)
+            if len(sb) < len(sa):
+                sa, sb = sb, sa
+            # sorted-array intersection count via one searchsorted
+            idx = np.searchsorted(sb, sa)
+            valid = idx < len(sb)
+            inter = int(np.count_nonzero(sb[idx[valid]] == sa[valid]))
             union = len(sa) + len(sb) - inter
             j = inter / union if union else 1.0
             if j >= threshold:
