@@ -137,8 +137,17 @@ class _DomBuilder(HTMLParser):
         pass
 
 
+# The fast scanner only accepts plain [a-zA-Z0-9] tag names; anything the
+# stdlib's tolerant tagfind would accept beyond that (hyphenated custom
+# elements, namespaced names, ...) must RAISE so the stdlib fallback
+# engages — a truncated name (<code-block> → "code") would silently
+# fabricate items the reference (bs4 walking unknown tags transparently)
+# never emits.  The start-tag regex therefore captures the char following
+# the name so the caller can refuse names it did not fully consume; the
+# end-tag regex requires name + optional whitespace + '>' exactly
+# (stdlib endtagfind allows [-.a-zA-Z0-9:_] in names — refuse those).
 _START_RE = re.compile(r"<([a-zA-Z][a-zA-Z0-9]*)([^<>]*)>")
-_END_RE = re.compile(r"</\s*([a-zA-Z][a-zA-Z0-9]*)[^<>]*>")
+_END_RE = re.compile(r"</\s*([a-zA-Z][a-zA-Z0-9]*)\s*>")
 _ATTR_RE = re.compile(
     r"([a-zA-Z:_][\w:.-]*)\s*(?:=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]+)))?"
 )
@@ -195,6 +204,8 @@ def _fast_build_dom(payload: str) -> _Node:
         if nxt == "/":
             m = _END_RE.match(payload, lt)
             if not m:
+                # includes end tags with trailing junk or extended name
+                # charsets (</x-y>) — stdlib resolves those differently
                 raise _FastTokenizeError("bad end tag")
             name = m.group(1).lower()
             for i in range(len(stack) - 1, 0, -1):
@@ -222,6 +233,13 @@ def _fast_build_dom(payload: str) -> _Node:
                 raise _FastTokenizeError("bad start tag")
             name = m.group(1).lower()
             raw_attrs = m.group(2)
+            # the name regex is narrower than stdlib's tolerant tagfind
+            # ([a-zA-Z][^\t\n\r\f />\x00]*) — if the char after the
+            # matched name would have extended the stdlib name
+            # (<code-block>, <h1-foo>), a truncated fast-path name
+            # silently diverges: refuse instead
+            if raw_attrs and raw_attrs[0] not in " \t\n\r\f/":
+                raise _FastTokenizeError("extended tag name")
             # a '>' inside a quoted attribute value does NOT close the
             # tag for the stdlib parser — refuse unbalanced quotes so
             # the fallback handles those tags
@@ -235,9 +253,23 @@ def _fast_build_dom(payload: str) -> _Node:
                     i = j + 1
                 else:
                     i += 1
-            self_closing = raw_attrs.rstrip().endswith("/")
-            attrs = (_parse_attrs(raw_attrs.rstrip().rstrip("/"))
-                     if name in _ATTR_TAGS and raw_attrs.strip("/ \t\r\n")
+            # stdlib treats a tag as self-closing only when the text left
+            # after attr parsing is exactly "/>" — an unquoted attr value
+            # ending in '/' (<p class=a/>) folds the slash INTO the value
+            # and stays a start tag.  Accept the unambiguous cases (slash
+            # is the whole blob, or preceded by whitespace / a closing
+            # quote) and refuse the rest.
+            stripped_attrs = raw_attrs.rstrip()
+            if stripped_attrs.endswith("/"):
+                before = stripped_attrs[:-1]
+                if before and before[-1] not in " \t\n\r\f\"'":
+                    raise _FastTokenizeError("ambiguous trailing slash")
+                self_closing = True
+                stripped_attrs = before
+            else:
+                self_closing = False
+            attrs = (_parse_attrs(stripped_attrs)
+                     if name in _ATTR_TAGS and stripped_attrs.strip()
                      else {})
             node = _Node(name, attrs, stack[-1])
             stack[-1].children.append(node)

@@ -24,6 +24,12 @@ _tag_soup = st.lists(
             "</figure>", "<pre>", "</pre>", "&amp;", "&lt;", "&#65;",
             # pathological fragments: must fall back or stay lenient
             "<", ">", "</", "< p>", "<1>", "<p", "<!", "<?", "<p a='",
+            # hyphenated custom elements / ambiguous trailing slashes:
+            # fast path must refuse, never truncate the name or
+            # misclassify the tag as self-closing
+            "<code-block>", "</code-block>", "<h1-foo>", "</h1-foo>",
+            "<x-y>", "</x-y>", "<p class=a/>", "<ol start=3/>",
+            "<td colspan=2/>", "<p class=\"a\"/>", "<br //>",
         ]),
         st.text(
             alphabet=st.characters(blacklist_categories=("Cs",)),

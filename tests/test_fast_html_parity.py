@@ -78,6 +78,21 @@ CASES = [
     "<p a b c>bare attrs</p>",
     "<p/>empty self-closing non-void",
     "<table><tr><td><table><tr><td>x</td></tr></table></td></tr></table>",
+    # hyphenated custom-element tags: stdlib walks them transparently;
+    # a truncated fast-path name (<code-block> → CODE item) would
+    # fabricate items — must refuse, never diverge (ADVICE r1, high)
+    "<code-block>x</code-block><p>real</p>",
+    "<h1-foo>not a title</h1-foo><p>body</p>",
+    "<div><x-widget><p>inner</p></x-widget></div>",
+    "stray close</x-y><p>after</p>",
+    # unquoted attr value ending in '/': stdlib folds the slash into
+    # the value and keeps the element open (ADVICE r1, medium)
+    "<p class=a/>text</p>",
+    "<ol start=3/><li>x</li></ol>",
+    "<div class=a/>inner<p>para</p></div>",
+    # unambiguous self-closing variants stay on the fast path
+    "<p class=\"a\"/>tail",
+    "<p class='a' />tail",
 ]
 
 
@@ -97,6 +112,22 @@ def test_corpus_parity():
                 _assert_parity(text)
                 checked += 1
     assert checked > 500
+
+
+@pytest.mark.parametrize("payload", [
+    "<code-block>x</code-block>",   # name would truncate to "code"
+    "<h1-foo>t</h1-foo>",           # name would truncate to "h1"
+    "</x-y>",                       # end-tag name charset beyond fast regex
+    "<p class=a/>text</p>",         # slash belongs to the attr value
+    "<ol start=3/>",                # same, on an attr-bearing tag
+])
+def test_divergent_constructs_refused(payload):
+    """Constructs where a lenient fast parse would silently diverge from
+    the stdlib fallback must raise instead (ADVICE r1 high/medium)."""
+    with pytest.raises(_FastTokenizeError):
+        _fast_build_dom(payload)
+    # public entry still extracts via the stdlib path
+    assert extract_html(f"<div>{payload}</div>").status in ("ok", "empty")
 
 
 def test_stray_lt_falls_back_not_diverges():
