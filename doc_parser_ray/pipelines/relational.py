@@ -286,68 +286,25 @@ def q_sessionize(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
     )
 
 
-def q_asof_join(sf_dir: str) -> pa.Table:
+def q_asof_join(sf_dir: str, broadcast_budget_rows: int = 2_000_000) -> pa.Table:
     """As-of join: each event matched to the latest order of the same
     customer at-or-before the event time (tie-broken by max orderkey).
-    The orders side is broadcast as per-key sorted arrays (``ray.put``
-    once, binary-searched per batch); at a scale where the right side
-    exceeds broadcast budget, the same in-partition merge runs after a
-    shared repartition on the key."""
-    import numpy as np
-    from collections import defaultdict
+    Delegates to ``stages.joins.asof_join`` — broadcast sorted arrays
+    when the orders side fits the budget (no shuffle, no driver-side
+    Python loop: one vectorized table sort), repartition-merge on the
+    key otherwise."""
+    from doc_parser_ray.stages.joins import asof_join
 
-    orders = collect_table(
-        _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate"])
-    )
-    ok = orders.column("o_custkey").to_numpy(zero_copy_only=False)
-    keys_ = orders.column("o_orderkey").to_numpy(zero_copy_only=False)
-    dates = orders.column("o_orderdate").cast(pa.int64()).to_numpy(
-        zero_copy_only=False)
-    by_cust: dict = defaultdict(list)
-    for c, k, d in zip(ok, keys_, dates):
-        by_cust[int(c)].append((int(d), int(k)))
-    # sort by (date, orderkey) so the rightmost match IS the tie-winner
-    lookup = {
-        c: (np.array([d for d, _ in sorted(v)], dtype=np.int64),
-            np.array([k for _, k in sorted(v)], dtype=np.int64))
-        for c, v in by_cust.items()
-    }
-    import ray as _ray
-
-    lookup_ref = _ray.put(lookup)
-
-    def asof(batch: pa.Table) -> pa.Table:
-        lk = _ray.get(lookup_ref)
-        uids = batch.column("user_id").to_numpy(zero_copy_only=False)
-        ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        eids = batch.column("event_id").to_numpy(zero_copy_only=False)
-        o_eid, o_uid, o_key = [], [], []
-        order = np.argsort(uids, kind="stable")
-        i = 0
-        while i < len(order):
-            j = i
-            u = uids[order[i]]
-            while j < len(order) and uids[order[j]] == u:
-                j += 1
-            ent = lk.get(int(u))
-            if ent is not None:
-                dts, oks = ent
-                rows = order[i:j]
-                pos = np.searchsorted(dts, ts[rows], side="right") - 1
-                hit = pos >= 0
-                o_eid.extend(eids[rows[hit]].tolist())
-                o_uid.extend([int(u)] * int(hit.sum()))
-                o_key.extend(oks[pos[hit]].tolist())
-            i = j
-        return pa.table({
-            "event_id": pa.array(o_eid, pa.int64()),
-            "user_id": pa.array(o_uid, pa.int64()),
-            "o_orderkey": pa.array(o_key, pa.int64()),
-        })
-
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate"])
     ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
-    out = ev.map_batches(asof, batch_format="pyarrow", zero_copy_batch=True)
-    return collect_table(out).sort_by([("event_id", "ascending")])
+    out = asof_join(
+        ev, orders,
+        left_key="user_id", right_key="o_custkey",
+        left_ts="ts", right_ts="o_orderdate", right_val="o_orderkey",
+        broadcast_budget_rows=broadcast_budget_rows,
+    )
+    tab = collect_table(out).select(["event_id", "user_id", "o_orderkey"])
+    return tab.sort_by([("event_id", "ascending")])
 
 
 def q_distinct_segments(sf_dir: str) -> pa.Table:

@@ -115,6 +115,9 @@ def dedup_ngram(sf_dir: str, threshold: float = 0.5) -> pa.Table:
     pairs = ngram_jaccard_pairs(
         _docs(sf_dir), id_col="doc_id", text_col="text", k=3,
         threshold=threshold,
+        # exact: the oracle recomputes full-recall pairs; at corpus scale
+        # leave the bounded default to disarm stop-shingle buckets
+        max_shingle_df=None,
     )
     tab = _collect_pairs(pairs, ["left_id", "right_id", "jaccard"],
                          [pa.int64(), pa.int64(), pa.float64()])

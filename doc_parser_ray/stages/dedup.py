@@ -30,6 +30,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray
+
 from doc_parser_ray.functions.textstats import normalize_for_dedup
 
 # ---------------------------------------------------------------- exact
@@ -249,16 +251,40 @@ def minhash_lsh_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
     return pairs.groupby(["left_id", "right_id"]).max("est_jaccard")
 
 
+# per-worker cache of the broadcast loser-id array: resolved from the
+# object store once per worker process, never pickled into task closures
+_LOSER_CACHE: dict = {}
+
+
+def _worker_losers(losers_ref) -> pa.Array:
+    key = losers_ref.hex() if hasattr(losers_ref, "hex") else id(losers_ref)
+    if key not in _LOSER_CACHE:
+        _LOSER_CACHE[key] = (ray.get(losers_ref)
+                             if isinstance(losers_ref, ray.ObjectRef)
+                             else losers_ref)
+    return _LOSER_CACHE[key]
+
+
 def minhash_dedup_ids(ds, **kwargs):
     """Surviving ids after near-dup removal: every right_id of a pair is
     dropped (union-find collapsed to 'larger id loses', which matches the
-    min-id-wins convention for pair-shaped clusters)."""
+    min-id-wins convention for pair-shaped clusters).
+
+    The loser-id set stays an Arrow array, ``ray.put`` ONCE and resolved
+    per worker (same broadcast pattern as stages/joins.py) — the driver
+    never rebuilds it into a Python set and task closures stay small."""
+    from doc_parser_ray.util import collect_table
+
     id_col = kwargs.get("id_col", "doc_id")
     pairs = minhash_lsh_pairs(ds, **kwargs)
-    losers = set(pairs.select_columns(["right_id"]).to_pandas()["right_id"])
+    loser_arr = pc.unique(
+        collect_table(pairs.select_columns(["right_id"])).column("right_id")
+    )
+    losers_ref = ray.put(loser_arr)
 
     def keep(batch: pa.Table) -> pa.Table:
-        mask = pc.invert(pc.is_in(batch.column(id_col), pa.array(list(losers))))
+        arr = _worker_losers(losers_ref)
+        mask = pc.invert(pc.is_in(batch.column(id_col), arr))
         return batch.filter(mask)
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
@@ -375,7 +401,7 @@ def _sig_bytes(sh: set[int]) -> bytes:
 
 def ngram_jaccard_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
                         k: int = 3, threshold: float = 0.5,
-                        max_shingle_df: int | None = None,
+                        max_shingle_df: int | None = 256,
                         num_partitions: int = 32):
     """EXACT n-gram-Jaccard near-dup pairs, distributed.
 
@@ -384,33 +410,37 @@ def ngram_jaccard_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
     ``(shingle, id)`` index by shingle yields candidates with FULL
     recall — no approximation, unlike the MinHash path. The index rows
     are two ints; the shuffle never moves text. Shingles are
-    hash-partitioned into a bounded number of groups and pair emission
-    is span-vectorized, so Python overhead is O(partitions), not
-    O(distinct shingles).
+    hash-partitioned into a bounded number of groups; pair emission is
+    numpy over each bucket span (cached triu index templates) and pair
+    dedup is a vectorized drop_duplicates, so Python overhead is
+    O(buckets-with-collisions), never O(pairs).
 
-    Verification broadcasts the shingle signatures of CANDIDATE ids only
-    (near-dup candidates are a vanishing fraction of a real corpus);
-    ``max_shingle_df`` drops stop-shingle buckets at scale (a
-    completeness/throughput dial — leave ``None`` for exact results).
+    Verification never touches the driver: the candidate-pair Dataset is
+    hash-joined against the materialized signature table (inner joins —
+    signature blobs move only for candidate ids, a vanishing fraction of
+    a real corpus), then scored per pair in map_batches.
+
+    ``max_shingle_df`` drops stop-shingle buckets whose pair emission
+    would be O(df²) — the default keeps the hot-bucket bomb disarmed at
+    scale at the cost of missing pairs whose ONLY shared prefix shingles
+    are corpus-wide stop shingles; pass ``None`` for exact results.
 
     Returns a Dataset of (left_id, right_id, jaccard), jaccard ≥ θ.
     """
-    import ray as _ray
     import ray.data as _rd
 
     # 1. per-doc shingle signatures, materialized once (reused twice)
     def sigs(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
         texts = batch.column(text_col).to_pylist()
+        shingle_sets = [_shingles(t or "", k) for t in texts]
         return pa.table(
             {
                 id_col: batch.column(id_col),
                 "sig": pa.array(
-                    [_sig_bytes(_shingles(t or "", k)) for t in texts],
-                    pa.binary(),
+                    [_sig_bytes(s) for s in shingle_sets], pa.binary()
                 ),
                 "n_sh": pa.array(
-                    [len(_shingles(t or "", k)) for t in texts], pa.int32()
+                    [len(s) for s in shingle_sets], pa.int32()
                 ),
             }
         )
@@ -451,92 +481,160 @@ def ngram_jaccard_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
             }
         )
 
+    # materialized: the groupby's boundary sampling would re-execute the
+    # explode pass (2× cost — assemble.py notes)
     index = sets_ds.map_batches(explode, batch_format="pyarrow",
-                                zero_copy_batch=True)
+                                zero_copy_batch=True).materialize()
 
     def partition_pairs(part: pa.Table) -> pa.Table:
         """All candidate pairs from every shingle bucket in one
-        partition (span-grouped, pairs emitted only for buckets ≥ 2)."""
+        partition: span boundaries found vectorized, pairs emitted with
+        cached np.triu_indices templates per bucket size, canonical
+        ordering via np.minimum/maximum, in-partition pair dedup via a
+        vectorized drop_duplicates — no Python loop over pairs."""
         part = part.sort_by(
             [("shingle", "ascending"), (id_col, "ascending")]
         )
         sh = part.column("shingle").to_numpy(zero_copy_only=False)
-        ids = part.column(id_col).to_pylist()
+        ids = part.column(id_col).to_numpy(zero_copy_only=False)
         n = len(ids)
         id_type = part.column(id_col).type
+        empty = pa.table({"left_id": pa.array([], id_type),
+                          "right_id": pa.array([], id_type)})
         if n == 0:
-            return pa.table({"left_id": pa.array([], id_type),
-                             "right_id": pa.array([], id_type)})
+            return empty
         change = np.ones(n, dtype=bool)
         change[1:] = sh[1:] != sh[:-1]
         starts = np.flatnonzero(change)
-        ends = np.append(starts[1:], n)
-        left, right = [], []
-        seen: set[tuple] = set()
-        for s, e in zip(starts, ends):
-            m = e - s
-            if m < 2 or (max_shingle_df and m > max_shingle_df):
-                continue
-            bucket = ids[s:e]
-            for i in range(m):
-                for j in range(i + 1, m):
-                    a, b = bucket[i], bucket[j]
-                    if a == b:
-                        continue
-                    key = (a, b) if a < b else (b, a)
-                    if key not in seen:
-                        seen.add(key)
-                        left.append(key[0])
-                        right.append(key[1])
-        return pa.table({"left_id": pa.array(left, id_type),
-                         "right_id": pa.array(right, id_type)})
+        sizes = np.diff(np.append(starts, n))
+        keep = sizes >= 2
+        if max_shingle_df:
+            keep &= sizes <= max_shingle_df
+        lefts, rights = [], []
+        triu_cache: dict[int, tuple] = {}
+        for s, m in zip(starts[keep], sizes[keep]):
+            tpl = triu_cache.get(m)
+            if tpl is None:
+                tpl = triu_cache[m] = np.triu_indices(m, k=1)
+            lefts.append(ids[s + tpl[0]])
+            rights.append(ids[s + tpl[1]])
+        if not lefts:
+            return empty
+        l = np.concatenate(lefts)
+        r = np.concatenate(rights)
+        lo, hi = np.minimum(l, r), np.maximum(l, r)
+        neq = lo != hi
+        import pandas as pd
+
+        df = pd.DataFrame({"left_id": lo[neq], "right_id": hi[neq]})
+        df = df.drop_duplicates(ignore_index=True)
+        return pa.table({
+            "left_id": pa.array(df["left_id"]).cast(id_type),
+            "right_id": pa.array(df["right_id"]).cast(id_type),
+        })
 
     cand = index.groupby("pkey").map_groups(
         partition_pairs, batch_format="pyarrow"
-    )
-    # cross-partition duplicates (pair sharing shingles in 2 partitions)
-    from doc_parser_ray.util import collect_table
-
-    cand_tab = collect_table(
-        cand.groupby(["left_id", "right_id"]).count()
-        .select_columns(["left_id", "right_id"])
-    )
-    if cand_tab.num_rows == 0:
-        empty = pa.table({"left_id": pa.array([], pa.int64()),
-                          "right_id": pa.array([], pa.int64()),
+    ).materialize()
+    id_type = sets_ds.schema().base_schema.field(id_col).type
+    if cand.count() == 0:
+        empty = pa.table({"left_id": pa.array([], id_type),
+                          "right_id": pa.array([], id_type),
                           "jaccard": pa.array([], pa.float64())})
         return _rd.from_arrow(empty)
 
-    # 3. broadcast candidate signatures, verify exactly
-    cand_ids = set(cand_tab.column("left_id").to_pylist())
-    cand_ids.update(cand_tab.column("right_id").to_pylist())
-    id_arr = pa.array(list(cand_ids))
-    sig_tab = collect_table(
-        sets_ds.map_batches(
-            lambda b: b.filter(pc.is_in(b.column(id_col), id_arr)),
-            batch_format="pyarrow", zero_copy_batch=True,
+    # 3. verify exactly, all dataset-side, via TWO bounded-partition
+    # exchanges (the repo's measured-fast shape — Dataset.join's
+    # per-query aggregator pools cost seconds of startup each,
+    # BASELINE.md §4): pairs and signatures are co-partitioned by an id
+    # hash; inside each partition a pyarrow (C++) hash join attaches the
+    # signature. Exchange 1 keys on right_id (every copy of a pair lands
+    # in the same partition → cross-partition pair dedup is a free
+    # vectorized drop_duplicates here); exchange 2 keys on left_id and
+    # scores. Signature blobs shuffle once per exchange; nothing
+    # round-trips through the driver.
+    def _pkey_of(col: pa.ChunkedArray) -> pa.Array:
+        ids_np = col.to_numpy(zero_copy_only=False)
+        if ids_np.dtype.kind in "iu":
+            return pa.array((ids_np % num_partitions).astype("int32"))
+        return pa.array([zlib.crc32(str(x).encode()) % num_partitions
+                         for x in ids_np], pa.int32())
+
+    def _sig_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "pkey": _pkey_of(batch.column(id_col)),
+            "kind": pa.array(np.zeros(n, dtype="int8")),
+            "id": batch.column(id_col),
+            "sig": batch.column("sig"),
+            "left_id": pa.nulls(n, id_type),
+            "right_id": pa.nulls(n, id_type),
+            "sig_right": pa.nulls(n, pa.binary()),
+        })
+
+    sig_rows = sets_ds.map_batches(
+        _sig_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def _pair_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "pkey": _pkey_of(batch.column("right_id")),
+            "kind": pa.array(np.ones(n, dtype="int8")),
+            "id": pa.nulls(n, id_type),
+            "sig": pa.nulls(n, pa.binary()),
+            "left_id": batch.column("left_id"),
+            "right_id": batch.column("right_id"),
+            "sig_right": pa.nulls(n, pa.binary()),
+        })
+
+    def attach_right(part: pa.Table) -> pa.Table:
+        kind = part.column("kind").to_numpy(zero_copy_only=False)
+        sigs_t = part.filter(pa.array(kind == 0)).select(["id", "sig"])
+        pairs_t = part.filter(pa.array(kind == 1)) \
+            .select(["left_id", "right_id"])
+        if pairs_t.num_rows:
+            import pandas as pd
+            df = pd.DataFrame({
+                "left_id": pairs_t.column("left_id").to_numpy(
+                    zero_copy_only=False),
+                "right_id": pairs_t.column("right_id").to_numpy(
+                    zero_copy_only=False),
+            }).drop_duplicates(ignore_index=True)
+            pairs_t = pa.table({
+                "left_id": pa.array(df["left_id"]).cast(id_type),
+                "right_id": pa.array(df["right_id"]).cast(id_type),
+            })
+        joined = pairs_t.join(
+            sigs_t, keys=["right_id"], right_keys=["id"], join_type="inner"
         )
-    )
-    sig_map = dict(zip(sig_tab.column(id_col).to_pylist(),
-                       sig_tab.column("sig").to_pylist()))
-    sig_ref = _ray.put(sig_map)
+        n = joined.num_rows
+        return pa.table({
+            "pkey": _pkey_of(joined.column("left_id")) if n
+            else pa.array([], pa.int32()),
+            "kind": pa.array(np.ones(n, dtype="int8")),
+            "id": pa.nulls(n, id_type),
+            "sig": pa.nulls(n, pa.binary()),
+            "left_id": joined.column("left_id"),
+            "right_id": joined.column("right_id"),
+            "sig_right": joined.column("sig"),
+        })
 
-    def verify(batch: pa.Table) -> pa.Table:
-        sigs_local = _ray.get(sig_ref)
-        decoded: dict = {}
-
-        def sig_of(x):
-            s = decoded.get(x)
-            if s is None:
-                s = decoded[x] = np.frombuffer(sigs_local[x],
-                                               dtype=np.uint64)
-            return s
-
-        lefts = batch.column("left_id").to_pylist()
-        rights = batch.column("right_id").to_pylist()
+    def attach_left_and_verify(part: pa.Table) -> pa.Table:
+        kind = part.column("kind").to_numpy(zero_copy_only=False)
+        sigs_t = part.filter(pa.array(kind == 0)).select(["id", "sig"])
+        pairs_t = part.filter(pa.array(kind == 1)) \
+            .select(["left_id", "right_id", "sig_right"])
+        joined = pairs_t.join(
+            sigs_t, keys=["left_id"], right_keys=["id"], join_type="inner"
+        )
         l_o, r_o, j_o = [], [], []
-        for a, b in zip(lefts, rights):
-            sa, sb = sig_of(a), sig_of(b)
+        for a, b, bl, br in zip(joined.column("left_id").to_pylist(),
+                                joined.column("right_id").to_pylist(),
+                                joined.column("sig").to_pylist(),
+                                joined.column("sig_right").to_pylist()):
+            sa = np.frombuffer(bl, dtype=np.uint64)
+            sb = np.frombuffer(br, dtype=np.uint64)
             if len(sb) < len(sa):
                 sa, sb = sb, sa
             # sorted-array intersection count via one searchsorted
@@ -549,13 +647,17 @@ def ngram_jaccard_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
                 l_o.append(a)
                 r_o.append(b)
                 j_o.append(j)
-        id_type = batch.column("left_id").type
         return pa.table({"left_id": pa.array(l_o, id_type),
                          "right_id": pa.array(r_o, id_type),
                          "jaccard": pa.array(j_o, pa.float64())})
 
-    return _rd.from_arrow(cand_tab).map_batches(
-        verify, batch_format="pyarrow", zero_copy_batch=True
+    pair_rows = cand.map_batches(_pair_rows, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    step1 = sig_rows.union(pair_rows).groupby("pkey").map_groups(
+        attach_right, batch_format="pyarrow"
+    ).materialize()
+    return sig_rows.union(step1).groupby("pkey").map_groups(
+        attach_left_and_verify, batch_format="pyarrow"
     )
 
 

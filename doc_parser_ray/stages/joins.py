@@ -3,8 +3,20 @@
 ``broadcast_join``: the scale-correct pattern for dimension tables —
 the small side is ``ray.put`` into the object store ONCE and every map
 task reads it zero-copy; the big side streams through ``map_batches``
-with a vectorized (pandas merge) per-batch lookup. No all-to-all
-shuffle. Use ``Dataset.join`` (hash shuffle join) only for big⋈big.
+with a per-batch pyarrow (Acero) hash join — Arrow-native end to end,
+no pandas conversion. No all-to-all shuffle. Use ``Dataset.join`` (hash
+shuffle join) only for big⋈big.
+
+``asof_join``: each left row matched to the latest right row with the
+same key at-or-before the left timestamp (tie-broken by the largest
+value column). Two strategies sharing one vectorized in-partition merge:
+  - broadcast (right side fits the budget): right side sorted ONCE into
+    flat (key, ts, val) arrays, ``ray.put`` once, binary-searched per
+    batch — the left side streams, nothing shuffles;
+  - repartition-merge (right side too big to broadcast): both sides are
+    hash-partitioned on the key into a BOUNDED number of partitions
+    (pkey) and merged per partition — the shuffle moves only the join
+    projections of both sides.
 
 The reference has no cross-document joins at all (SURVEY.md §2.6) — its
 only join-like ops are intra-document spatial/fuzzy matches — so this
@@ -13,26 +25,27 @@ module is part of the engine-completeness surface, not reference parity.
 
 from __future__ import annotations
 
+import zlib
+
+import numpy as np
 import pyarrow as pa
 
 import ray
 
 
-# per-worker-process cache: the indexed small side is built once per
-# worker (keyed by the broadcast ref), not once per batch — the
-# task-based analog of actor __init__ state, without paying actor-pool
-# startup for every short query
-_SMALL_SIDE_CACHE: dict = {}
+# per-worker-process cache of broadcast objects: resolved from the
+# object store once per worker (keyed by the ref), not once per batch —
+# the task-based analog of actor __init__ state, without paying
+# actor-pool startup for every short query
+_BROADCAST_CACHE: dict = {}
 
 
-def _indexed_small(small_ref, right_key: str):
-    key = (small_ref.hex() if hasattr(small_ref, "hex") else id(small_ref),
-           right_key)
-    if key not in _SMALL_SIDE_CACHE:
-        small = ray.get(small_ref) if isinstance(small_ref, ray.ObjectRef) \
-            else small_ref
-        _SMALL_SIDE_CACHE[key] = small.to_pandas().set_index(right_key)
-    return _SMALL_SIDE_CACHE[key]
+def _worker_object(ref):
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    if key not in _BROADCAST_CACHE:
+        _BROADCAST_CACHE[key] = (ray.get(ref)
+                                 if isinstance(ref, ray.ObjectRef) else ref)
+    return _BROADCAST_CACHE[key]
 
 
 def broadcast_join(ds, small: pa.Table, *, left_key: str, right_key: str,
@@ -40,16 +53,173 @@ def broadcast_join(ds, small: pa.Table, *, left_key: str, right_key: str,
     """Join a streaming Dataset against a driver-small pyarrow Table.
 
     The small side is ``ray.put`` ONCE; every map task reads it
-    zero-copy from the local object store and caches the built index
-    per worker process. Plain tasks (no actor pool): the state is
-    recoverable from the object store, so actor lifecycle buys nothing
-    here and costs pool startup on every query."""
+    zero-copy from the local object store. Each batch runs one pyarrow
+    ``Table.join`` (Acero hash join) — vectorized C++, no pandas.
+    Plain tasks (no actor pool): the state is recoverable from the
+    object store, so actor lifecycle buys nothing here and costs pool
+    startup on every query."""
     small_ref = ray.put(small)
+    join_type = {"left": "left outer", "right": "right outer",
+                 "outer": "full outer"}.get(how, how)
 
     def join_batch(batch: pa.Table) -> pa.Table:
-        small_df = _indexed_small(small_ref, right_key)
-        joined = batch.to_pandas().join(small_df, on=left_key, how=how)
-        return pa.Table.from_pandas(joined, preserve_index=False)
+        small_tab = _worker_object(small_ref)
+        return batch.join(small_tab, keys=[left_key], right_keys=[right_key],
+                          join_type=join_type, right_suffix="_r")
 
     kwargs = {"concurrency": concurrency} if concurrency else {}
     return ds.map_batches(join_batch, batch_format="pyarrow", **kwargs)
+
+
+# ------------------------------------------------------------- as-of
+
+
+def _sorted_right_arrays(right: pa.Table, key: str, ts: str,
+                         val: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(key, ts, val) arrays sorted by (key, ts, val) — one vectorized
+    table sort, no per-row Python. The rightmost in-span match under
+    this order IS the as-of winner with max-val tie-breaking."""
+    right = right.select([key, ts, val]).sort_by(
+        [(key, "ascending"), (ts, "ascending"), (val, "ascending")]
+    )
+    return (
+        right.column(key).to_numpy(zero_copy_only=False),
+        right.column(ts).cast(pa.int64()).to_numpy(zero_copy_only=False),
+        right.column(val).to_numpy(zero_copy_only=False),
+    )
+
+
+def _asof_lookup(batch_keys: np.ndarray, batch_ts: np.ndarray,
+                 rk: np.ndarray, rt: np.ndarray,
+                 rv: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized as-of: for each (key, ts) find the right-side row with
+    the same key and max ts' ≤ ts (ties → max val). Returns (hit_mask,
+    matched_vals[hit]). Left rows are grouped by key (one argsort), then
+    one searchsorted per distinct key in the batch."""
+    n = len(batch_keys)
+    hit = np.zeros(n, dtype=bool)
+    out_val = np.empty(n, dtype=rv.dtype)
+    order = np.argsort(batch_keys, kind="stable")
+    i = 0
+    while i < n:
+        j = i
+        u = batch_keys[order[i]]
+        while j < n and batch_keys[order[j]] == u:
+            j += 1
+        rows = order[i:j]
+        s = np.searchsorted(rk, u, side="left")
+        e = np.searchsorted(rk, u, side="right")
+        if e > s:
+            pos = np.searchsorted(rt[s:e], batch_ts[rows], side="right") - 1
+            found = pos >= 0
+            hit[rows[found]] = True
+            out_val[rows[found]] = rv[s + pos[found]]
+        i = j
+    return hit, out_val
+
+
+def asof_join(left_ds, right, *, left_key: str, right_key: str,
+              left_ts: str, right_ts: str, right_val: str,
+              broadcast_budget_rows: int = 2_000_000,
+              num_partitions: int = 16):
+    """As-of join (latest right ≤ left ts per key; max-val tie-break).
+
+    ``right`` is a Dataset or pyarrow Table. When its row count fits
+    ``broadcast_budget_rows`` the sorted right arrays are broadcast and
+    the left side streams unshuffled; otherwise both sides repartition
+    on a bounded key hash and the identical vectorized merge runs per
+    partition. Returns a Dataset with the left columns (unmatched rows
+    dropped) plus ``right_val``.
+    """
+    from doc_parser_ray.util import collect_table
+
+    if isinstance(right, pa.Table):
+        right_tab, right_rows = right, right.num_rows
+    else:
+        right = right.materialize()
+        right_rows = right.count()
+        right_tab = None  # collected only on the broadcast path
+
+    if right_rows <= broadcast_budget_rows:
+        if right_tab is None:
+            right_tab = collect_table(right)
+        rk, rt, rv = _sorted_right_arrays(right_tab, right_key, right_ts,
+                                          right_val)
+        arrays_ref = ray.put((rk, rt, rv))
+
+        def asof_batch(batch: pa.Table) -> pa.Table:
+            rk_, rt_, rv_ = _worker_object(arrays_ref)
+            keys = batch.column(left_key).to_numpy(zero_copy_only=False)
+            ts = batch.column(left_ts).cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+            hit, vals = _asof_lookup(keys, ts, rk_, rt_, rv_)
+            out = batch.filter(pa.array(hit))
+            return out.append_column(right_val, pa.array(vals[hit]))
+
+        return left_ds.map_batches(asof_batch, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+
+    # ---- repartition-merge fallback: both sides keyed into bounded
+    # partitions; only join projections shuffle
+    left_cols = left_ds.schema().names
+
+    def tag(side: int, key_col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+            if keys.dtype.kind in "iu":
+                pk = (keys % num_partitions).astype("int32")
+            else:
+                pk = np.array(
+                    [zlib.crc32(str(x).encode()) % num_partitions
+                     for x in keys], dtype="int32")
+            cols = {"pkey": pa.array(pk),
+                    "side": pa.array(np.full(len(keys), side, dtype="int8"))}
+            if side == 0:
+                for c in left_cols:
+                    cols[f"l_{c}"] = batch.column(c)
+                cols["r_ts"] = pa.nulls(len(keys), pa.int64())
+                cols["r_val"] = pa.nulls(len(keys), right_val_type)
+            else:
+                for c in left_cols:
+                    cols[f"l_{c}"] = pa.nulls(
+                        len(keys), left_schema.field(c).type)
+                cols[f"l_{left_key}"] = batch.column(key_col)
+                cols["r_ts"] = batch.column(right_ts).cast(pa.int64())
+                cols["r_val"] = batch.column(right_val)
+            return pa.table(cols)
+        return fn
+
+    left_schema = left_ds.schema().base_schema
+    right_val_type = right.schema().base_schema.field(right_val).type
+    right_proj = (right.select_columns([right_key, right_ts, right_val])
+                  .map_batches(tag(1, right_key), batch_format="pyarrow"))
+    left_tagged = left_ds.map_batches(tag(0, left_key),
+                                      batch_format="pyarrow")
+    both = left_tagged.union(right_proj).materialize()
+
+    def merge(part: pa.Table) -> pa.Table:
+        side = part.column("side").to_numpy(zero_copy_only=False)
+        rt_tab = part.filter(pa.array(side == 1))
+        lt_tab = part.filter(pa.array(side == 0))
+        empty_cols = {c: pa.array([], left_schema.field(c).type)
+                      for c in left_cols}
+        empty_cols[right_val] = pa.array([], rt_tab.schema.field("r_val").type)
+        if rt_tab.num_rows == 0 or lt_tab.num_rows == 0:
+            return pa.table(empty_cols)
+        rt_tab = rt_tab.sort_by(
+            [(f"l_{left_key}", "ascending"), ("r_ts", "ascending"),
+             ("r_val", "ascending")]
+        )
+        rk = rt_tab.column(f"l_{left_key}").to_numpy(zero_copy_only=False)
+        rt = rt_tab.column("r_ts").to_numpy(zero_copy_only=False)
+        rv = rt_tab.column("r_val").to_numpy(zero_copy_only=False)
+        keys = lt_tab.column(f"l_{left_key}").to_numpy(zero_copy_only=False)
+        ts = lt_tab.column(f"l_{left_ts}").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        hit, vals = _asof_lookup(keys, ts, rk, rt, rv)
+        out = lt_tab.filter(pa.array(hit))
+        cols = {c: out.column(f"l_{c}") for c in left_cols}
+        cols[right_val] = pa.array(vals[hit])
+        return pa.table(cols)
+
+    return both.groupby("pkey").map_groups(merge, batch_format="pyarrow")

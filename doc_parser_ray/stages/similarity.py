@@ -41,16 +41,33 @@ def _worker_queries(queries_ref, dtype):
 
 
 def _batch_topk(batch: pa.Table, queries_ref, k: int, id_col: str,
-                dtype=np.float64) -> pa.Table:
+                dtype=np.float64, bucket_col: str | None = None,
+                probe_ref=None) -> pa.Table:
     """The query matrix is resolved from the object store once per
     worker (broadcast), each batch does one matmul.
 
     dtype float64 by default for oracle parity (DuckDB computes cosine in
-    double); pass float32 for the at-scale memory/speed tradeoff."""
+    double); pass float32 for the at-scale memory/speed tradeoff.
+
+    When ``bucket_col``/``probe_ref`` are given (IVF path), each query's
+    similarities are masked to the buckets in ITS OWN probe set before
+    the top-k — a corpus vector outside a query's probed buckets can
+    never become its candidate."""
     query_ids, Q = _worker_queries(queries_ref, dtype)
     ids = np.asarray(batch.column(id_col).to_pylist())
     emb = _unit(np.asarray(batch.column("embedding").to_pylist(), dtype=dtype))
     sims = Q @ emb.T  # (nq, nb)
+    if bucket_col is not None:
+        probe_map = (ray.get(probe_ref)
+                     if isinstance(probe_ref, ray.ObjectRef) else probe_ref)
+        buckets = batch.column(bucket_col).to_numpy(zero_copy_only=False)
+        for qi, qid in enumerate(query_ids):
+            allowed = np.isin(
+                buckets,
+                np.fromiter(probe_map[qid], dtype=np.int64,
+                            count=len(probe_map[qid])),
+            )
+            sims[qi, ~allowed] = -np.inf
     # over-fetch k + nq per batch: self-matches are excluded later in
     # the reduce, and each batch can contain up to nq of them
     kk = min(k + len(query_ids), sims.shape[1])
@@ -58,9 +75,12 @@ def _batch_topk(batch: pa.Table, queries_ref, k: int, id_col: str,
     out_q, out_id, out_s = [], [], []
     for qi in range(sims.shape[0]):
         for j in idx[qi]:
+            s = sims[qi, j]
+            if s == -np.inf:  # masked (unprobed bucket) — not a candidate
+                continue
             out_q.append(query_ids[qi])
             out_id.append(ids[j])
-            out_s.append(float(sims[qi, j]))
+            out_s.append(float(s))
     return pa.table(
         {
             "query_id": pa.array(out_q),
@@ -72,47 +92,43 @@ def _batch_topk(batch: pa.Table, queries_ref, k: int, id_col: str,
 
 def knn_cosine(ds, query_ids, query_vecs, *, k: int = 10,
                id_col: str = "vec_id", concurrency=(1, 8),
-               exclude_self: bool = True, dtype=np.float64):
+               exclude_self: bool = True, dtype=np.float64,
+               bucket_col: str | None = None, probe_map: dict | None = None):
     """Brute-force cosine top-k for a small set of query vectors.
 
     Returns a pyarrow Table (query_id, id_col, cosine, rank) with rank
     1..k per query — driver-small (nq x k rows). The corpus is streamed;
-    per-batch candidates are reduced with a driver-side heap (nq x k x
-    n_blocks candidate rows only).
+    per-batch top-k candidates (nq x k x n_blocks rows only) are merged
+    with one vectorized sort + per-query head(k); ties broken by smaller
+    id so results are stable regardless of block arrival order.
+
+    ``bucket_col``/``probe_map`` (IVF): mask each query to its own set
+    of probed buckets inside the per-batch top-k.
     """
     queries_ref = ray.put((list(query_ids), np.asarray(query_vecs, dtype=dtype)))
-    cand = ds.select_columns([id_col, "embedding"]).map_batches(
-        lambda b: _batch_topk(b, queries_ref, k, id_col, dtype),
+    probe_ref = ray.put(probe_map) if probe_map is not None else None
+    cols = [id_col, "embedding"] + ([bucket_col] if bucket_col else [])
+    cand = ds.select_columns(cols).map_batches(
+        lambda b: _batch_topk(b, queries_ref, k, id_col, dtype,
+                              bucket_col=bucket_col, probe_ref=probe_ref),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    # Collect per-batch candidates (nq x k x n_blocks rows — tiny) and do
-    # one deterministic global sort; ties broken by smaller id so results
-    # are stable regardless of block arrival order.
-    cands: dict = {}
-    for batch in cand.iter_batches(batch_format="pyarrow"):
-        qs = batch.column("query_id").to_pylist()
-        vs = batch.column(id_col).to_pylist()
-        ss = batch.column("cosine").to_pylist()
-        for q, v, s in zip(qs, vs, ss):
-            if exclude_self and q == v:
-                continue
-            cands.setdefault(q, []).append((s, v))
-    out_q, out_id, out_s, out_r = [], [], [], []
-    for q in sorted(cands):
-        ranked = sorted(cands[q], key=lambda t: (-t[0], t[1]))[:k]
-        for r, (s, v) in enumerate(ranked, 1):
-            out_q.append(q)
-            out_id.append(v)
-            out_s.append(s)
-            out_r.append(r)
-    return pa.table(
-        {
-            "query_id": pa.array(out_q),
-            id_col: pa.array(out_id),
-            "cosine": pa.array(out_s, pa.float64()),
-            "rank": pa.array(out_r, pa.int64()),
-        }
+    tabs = [b for b in cand.iter_batches(batch_format="pyarrow")
+            if b.num_rows]
+    if not tabs:
+        return pa.table({"query_id": pa.array([]), id_col: pa.array([]),
+                         "cosine": pa.array([], pa.float64()),
+                         "rank": pa.array([], pa.int64())})
+    df = pa.concat_tables(tabs).to_pandas()
+    if exclude_self:
+        df = df[df["query_id"] != df[id_col]]
+    df = df.sort_values(["query_id", "cosine", id_col],
+                        ascending=[True, False, True], kind="mergesort")
+    df = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    df["rank"] = df.groupby("query_id", sort=True).cumcount() + 1
+    return pa.Table.from_pandas(df, preserve_index=False).select(
+        ["query_id", id_col, "cosine", "rank"]
     )
 
 
@@ -162,10 +178,14 @@ def knn_cosine_ivf(ds, query_ids, query_vecs, *, k: int = 10,
     )
     Q = _unit(np.asarray(query_vecs, dtype=np.float32))
     probes = np.argsort(-(Q @ cent.T), axis=1)[:, :n_probe]  # (nq, n_probe)
+    # coarse filter: the union of every query's probed buckets never
+    # leaves storage more than once ...
     wanted = sorted({int(b) for row in probes for b in row})
     filtered = bucketed.filter(expr=f"ivf_bucket in {wanted}")
-    # per-query bucket masks applied in the reduce
+    # ... and the per-query probe masks are applied INSIDE the per-batch
+    # top-k, so each query scans only its own n_probe buckets
     probe_sets = {q: {int(b) for b in probes[i]} for i, q in enumerate(query_ids)}
     full = knn_cosine(filtered, query_ids, query_vecs, k=k, id_col=id_col,
-                      concurrency=concurrency)
+                      concurrency=concurrency, bucket_col="ivf_bucket",
+                      probe_map=probe_sets)
     return full, probe_sets

@@ -152,6 +152,40 @@ class TestSimilarity:
             recall = len(e & a) / len(e)
             assert recall >= 0.5, f"query {qi} recall {recall}"
 
+    def test_knn_ivf_probe_mask_applied(self):
+        """A corpus vector outside a query's OWN probed buckets must
+        never appear in that query's results — even when another query
+        probes its bucket (ADVICE r1: union-of-probes bug)."""
+        from doc_parser_ray.stages.similarity import (
+            _assign_bucket, _unit, train_centroids,
+        )
+        import ray as _ray
+
+        ds, _ = self._dataset(n=400, d=32)
+        stored = np.asarray(
+            collect_table(ds).column("embedding").to_pylist(), dtype=np.float64
+        )
+        q = stored[:3]
+        out, probes = knn_cosine_ivf(ds, [0, 1, 2], q, k=10,
+                                     n_centroids=8, n_probe=2)
+        # recompute every result vector's bucket and check membership in
+        # the querying query's probe set specifically
+        cent = train_centroids(ds, n_centroids=8)
+        bucketed = _assign_bucket(
+            collect_table(ds.select_columns(["vec_id", "embedding"])),
+            cent)
+        bucket_of = dict(zip(bucketed.column("vec_id").to_pylist(),
+                             bucketed.column("ivf_bucket").to_pylist()))
+        rows = out.to_pydict()
+        assert len(rows["query_id"])  # sanity: results exist
+        union = set().union(*probes.values())
+        assert any(probes[q0] != union for q0 in probes)  # probes differ
+        for qq, v in zip(rows["query_id"], rows["vec_id"]):
+            assert bucket_of[v] in probes[qq], (
+                f"vec {v} (bucket {bucket_of[v]}) returned for query {qq} "
+                f"whose probe set is {probes[qq]}"
+            )
+
 
 class TestTextStats:
     def test_counts(self):

@@ -1,0 +1,122 @@
+"""Join-strategy tests: Arrow-native broadcast join and the two as-of
+strategies (broadcast arrays vs repartition-merge) must agree."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from doc_parser_ray.stages.joins import asof_join, broadcast_join
+from doc_parser_ray.util import collect_table
+
+
+def _sorted_rows(tab: pa.Table, keys):
+    return tab.sort_by([(k, "ascending") for k in keys]).to_pylist()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBroadcastJoin:
+    def test_inner_matches_pandas(self):
+        big = pa.table({
+            "k": pa.array([1, 2, 3, 4, 2, 1], pa.int64()),
+            "x": pa.array([10, 20, 30, 40, 21, 11], pa.int64()),
+        })
+        small = pa.table({
+            "sk": pa.array([1, 2, 5], pa.int64()),
+            "name": pa.array(["a", "b", "c"]),
+        })
+        out = collect_table(broadcast_join(
+            ray.data.from_arrow(big), small, left_key="k", right_key="sk"
+        ))
+        want = big.to_pandas().merge(
+            small.to_pandas(), left_on="k", right_on="sk"
+        )[["k", "x", "name"]]
+        got = _sorted_rows(out.select(["k", "x", "name"]), ["k", "x"])
+        assert got == want.sort_values(["k", "x"]).to_dict("records")
+
+    def test_left_outer_keeps_unmatched(self):
+        big = pa.table({"k": pa.array([1, 9], pa.int64())})
+        small = pa.table({"k2": pa.array([1], pa.int64()),
+                          "v": pa.array([7], pa.int64())})
+        out = collect_table(broadcast_join(
+            ray.data.from_arrow(big), small, left_key="k", right_key="k2",
+            how="left",
+        ))
+        rows = _sorted_rows(out.select(["k", "v"]), ["k"])
+        assert rows == [{"k": 1, "v": 7}, {"k": 9, "v": None}]
+
+
+def _asof_fixture(n_left=500, n_right=200, n_keys=20, seed=7):
+    rng = np.random.RandomState(seed)
+    left = pa.table({
+        "event_id": pa.array(range(n_left), pa.int64()),
+        "user_id": pa.array(rng.randint(0, n_keys, n_left), pa.int64()),
+        "ts": pa.array(rng.randint(0, 10_000, n_left), pa.int64()),
+    })
+    right = pa.table({
+        "o_custkey": pa.array(rng.randint(0, n_keys + 5, n_right), pa.int64()),
+        "o_orderdate": pa.array(rng.randint(0, 10_000, n_right), pa.int64()),
+        "o_orderkey": pa.array(rng.permutation(n_right), pa.int64()),
+    })
+    return left, right
+
+
+def _asof_expected(left: pa.Table, right: pa.Table):
+    """Reference semantics: latest right ≤ ts per key, max-val tie-break."""
+    rr = right.to_pylist()
+    out = []
+    for row in left.to_pylist():
+        best = None
+        for r in rr:
+            if r["o_custkey"] == row["user_id"] and \
+                    r["o_orderdate"] <= row["ts"]:
+                cand = (r["o_orderdate"], r["o_orderkey"])
+                if best is None or cand > best:
+                    best = cand
+        if best is not None:
+            out.append({"event_id": row["event_id"],
+                        "o_orderkey": best[1]})
+    return sorted(out, key=lambda d: d["event_id"])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAsofJoin:
+    def _run(self, budget):
+        left, right = _asof_fixture()
+        out = asof_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            left_key="user_id", right_key="o_custkey",
+            left_ts="ts", right_ts="o_orderdate", right_val="o_orderkey",
+            broadcast_budget_rows=budget,
+        )
+        tab = collect_table(out).select(["event_id", "o_orderkey"])
+        return _sorted_rows(tab, ["event_id"])
+
+    def test_broadcast_path_matches_naive(self):
+        left, right = _asof_fixture()
+        assert self._run(budget=10**9) == _asof_expected(left, right)
+
+    def test_partitioned_path_matches_broadcast(self):
+        """budget=0 forces the repartition-merge fallback; results must
+        be identical to the broadcast path (and the naive oracle)."""
+        left, right = _asof_fixture()
+        assert self._run(budget=0) == _asof_expected(left, right)
+
+    def test_ties_break_to_max_val(self):
+        left = pa.table({
+            "event_id": pa.array([0], pa.int64()),
+            "user_id": pa.array([1], pa.int64()),
+            "ts": pa.array([100], pa.int64()),
+        })
+        right = pa.table({
+            "o_custkey": pa.array([1, 1, 1], pa.int64()),
+            "o_orderdate": pa.array([100, 100, 50], pa.int64()),
+            "o_orderkey": pa.array([3, 9, 99], pa.int64()),
+        })
+        out = asof_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            left_key="user_id", right_key="o_custkey",
+            left_ts="ts", right_ts="o_orderdate", right_val="o_orderkey",
+        )
+        assert collect_table(out).to_pylist()[0]["o_orderkey"] == 9
