@@ -245,7 +245,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "extract_roundtrip": """
             SELECT doc_id,
-                   CASE WHEN doc_id % 6 = 4
+                   CASE WHEN doc_id % 9 = 4
                         THEN 'text | k' || chr(10) || TRIM(text) || ' | x'
                         ELSE TRIM(text) END AS extracted_text
             FROM documents ORDER BY doc_id

@@ -53,6 +53,11 @@ class Item:
     marker: str = ""  # list marker, e.g. "-" or "3."
     content_layer: str = BODY
     group: int = 0  # enclosing group id (separates sibling lists on export)
+    # pre-rendered inline-markdown body (bold/italic/hyperlinks), set by
+    # backends that carry run formatting (DOCX); ``text`` stays plain.
+    # Used by items_to_markdown only — the analog of docling-core
+    # serializing Formatting/hyperlink attributes at export time.
+    md_text: str = ""
 
 
 @dataclass

@@ -122,7 +122,7 @@ def items_to_markdown(items) -> str:
                     flush_list()
                 last_top_group = it.group
             indent = "    " * max(it.level - 1, 0)
-            body = esc(it.text)
+            body = it.md_text if it.md_text else esc(it.text)
             text = f"{it.marker} {body}" if it.marker else body
             list_run.append(indent + text)
             continue
@@ -138,6 +138,9 @@ def items_to_markdown(items) -> str:
             blocks.append(f"```\n{it.text}\n```")
         elif it.label == TABLE:
             blocks.append(_md_table(it.text))
+        elif it.md_text:
+            # inline formatting pre-rendered by the backend (DOCX runs)
+            blocks.append(it.md_text)
         elif it.text:
             blocks.append(esc(it.text))
     flush_list()

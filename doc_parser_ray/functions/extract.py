@@ -21,6 +21,9 @@ from doc_parser_ray.datamodel import (
 )
 from doc_parser_ray.functions.asciidoc_extract import extract_asciidoc
 from doc_parser_ray.functions.csv_extract import extract_csv
+from doc_parser_ray.functions.docx_extract import extract_docx
+from doc_parser_ray.functions.pptx_extract import extract_pptx
+from doc_parser_ray.functions.xlsx_extract import extract_xlsx
 from doc_parser_ray.functions.html_extract import extract_html
 from doc_parser_ray.functions.md_extract import extract_markdown
 from doc_parser_ray.functions.pdf_extract import extract_pdf
@@ -64,6 +67,46 @@ def extract_payload(text: str, tool: str = "") -> tuple[str, ParseResult]:
                     items=[], status=STATUS_PARSE_ERROR, error=f"base64: {e}"
                 )
         res = extract_pdf(data)
+    elif fmt in ("docx", "xlsx", "pptx", "office_zip"):
+        try:
+            data = base64.b64decode(text.strip(), validate=True)
+        except (binascii.Error, ValueError) as e:
+            return fmt, ParseResult(
+                items=[], status=STATUS_PARSE_ERROR, error=f"base64: {e}"
+            )
+        fmt, res = _extract_office(data, fmt)
     else:
         res = extract_plain_text(text)
     return fmt, res
+
+
+def _extract_office(data: bytes, fmt: str) -> tuple[str, ParseResult]:
+    """Office zip dispatch: disambiguate docx/xlsx/pptx from member
+    names when the discriminator was generic (the reference's zip
+    disambiguation, docling/datamodel/document.py:306-410)."""
+    if fmt == "office_zip":
+        import zipfile
+        from io import BytesIO
+
+        try:
+            names = set(zipfile.ZipFile(BytesIO(data)).namelist())
+        except Exception as e:
+            return fmt, ParseResult(items=[], status=STATUS_PARSE_ERROR,
+                                    error=f"zip: {e}")
+        if "word/document.xml" in names:
+            fmt = "docx"
+        elif "xl/workbook.xml" in names:
+            fmt = "xlsx"
+        elif "ppt/presentation.xml" in names:
+            fmt = "pptx"
+        else:
+            return fmt, ParseResult(items=[], status=STATUS_PARSE_ERROR,
+                                    error="unrecognized office zip")
+    if fmt == "docx":
+        return fmt, extract_docx(data)
+    if fmt == "xlsx":
+        return fmt, extract_xlsx(data)
+    if fmt == "pptx":
+        return fmt, extract_pptx(data)
+    return fmt, ParseResult(items=[], status=STATUS_PARSE_ERROR,
+                            error=f"unsupported office format {fmt}")

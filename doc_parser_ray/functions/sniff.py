@@ -4,10 +4,13 @@ sniffer (/root/reference/docling/datamodel/document.py:306-506): mime
 first (here: the transcript ``tool`` column), then content sniffing on
 the head of the payload.
 
-Formats: "html" | "markdown" | "text" | "pdf" | "unknown".
+Formats: "html" | "markdown" | "text" | "pdf" | "csv" | "asciidoc" |
+"docx" | "office_zip" | "unknown".
 A base64-encoded PDF payload ("JVBERi0" prefix = base64 of "%PDF-") is
-recognized as "pdf", matching the transcript encoding convention
-(FIXTURES.md §1.1).
+recognized as "pdf"; a base64-encoded zip ("UEsDB" = base64 of
+"PK\\x03\\x04") as "office_zip" — the extract dispatcher disambiguates
+docx/xlsx/pptx from the archive's member names, the analog of the
+reference's zip disambiguation (document.py:306-410).
 """
 
 from __future__ import annotations
@@ -29,7 +32,8 @@ _MD_RE = re.compile(
     re.M,
 )
 
-VALID_TOOLS = {"html", "markdown", "text", "pdf", "csv", "asciidoc"}
+VALID_TOOLS = {"html", "markdown", "text", "pdf", "csv", "asciidoc",
+               "docx", "xlsx", "pptx"}
 
 
 def sniff_format(text: str, tool: str = "") -> str:
@@ -50,6 +54,8 @@ def sniff_format(text: str, tool: str = "") -> str:
     stripped = head.lstrip()
     if stripped.startswith("%PDF-") or stripped.startswith("JVBERi0"):
         return "pdf"
+    if stripped.startswith("UEsDB"):  # base64 of zip magic PK\x03\x04
+        return "office_zip"
     if _HTML_DECL_RE.search(head):
         return "html"
     if _HTML_TAG_RE.search(head):

@@ -431,11 +431,17 @@ def media_pipeline(sf_dir: str, n: int = 150) -> pa.Table:
 
 def extract_roundtrip(sf_dir: str) -> pa.Table:
     """SQL-verifiable extraction correctness: wrap each document's text
-    into HTML / markdown / plain / PDF / CSV / AsciiDoc (by doc_id % 6),
-    run the real extraction stage, return (doc_id, extracted_text). The
-    DuckDB oracle knows the expected extraction per wrapper (trim(text)
-    for five of them; header + newline + text for CSV), proving all six
-    parser paths through the driver's value-hash gate."""
+    into HTML / markdown / plain / PDF / CSV / AsciiDoc / DOCX / XLSX /
+    PPTX (by doc_id % 9), run the real extraction stage, return
+    (doc_id, extracted_text). The DuckDB oracle knows the expected
+    extraction per wrapper (trim(text) for eight of them; header +
+    newline + text for CSV), proving all nine parser paths through the
+    driver's value-hash gate."""
+    from doc_parser_ray.sources.office_gen import (
+        simple_docx,
+        simple_pptx,
+        simple_xlsx,
+    )
 
     def wrap(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
@@ -443,7 +449,7 @@ def extract_roundtrip(sf_dir: str) -> pa.Table:
         payloads, tools = [], []
         for i, t in zip(ids, texts):
             t = (t or "").strip()
-            m = i % 6
+            m = i % 9
             if m == 0:
                 # script/style boilerplate must vanish; no headings → all
                 # body, so the oracle is exactly trim(text)
@@ -466,9 +472,19 @@ def extract_roundtrip(sf_dir: str) -> pa.Table:
                 # oracle can reconstruct the grid exactly
                 payloads.append(f"text,k\n{t},x")
                 tools.append("csv")
-            else:
+            elif m == 5:
                 payloads.append(t)
                 tools.append("asciidoc")
+            elif m == 6:
+                payloads.append(base64.b64encode(simple_docx([t])).decode())
+                tools.append("docx")
+            elif m == 7:
+                payloads.append(base64.b64encode(
+                    simple_xlsx([[t]])).decode())
+                tools.append("xlsx")
+            else:
+                payloads.append(base64.b64encode(simple_pptx([t])).decode())
+                tools.append("pptx")
         n = len(ids)
         return pa.table(
             {

@@ -126,6 +126,75 @@ def test_csv_tab_normalized():
     assert _norm_tables(mine) == _norm_tables(golden)
 
 
+# docx fixtures: all byte-exact except equations.docx, whose golden
+# contains the reference's vendored OMML→LaTeX conversion — this engine
+# extracts equations as plain math-run text (documented deviation,
+# docx_extract.py module docstring)
+DOCX_EXACT = [
+    "lorem_ipsum", "tablecell", "test_emf_docx", "textbox",
+    "unit_test_formatting", "unit_test_headers",
+    "unit_test_headers_numbered", "unit_test_lists",
+    "word_image_anchors", "word_sample", "word_tables",
+]
+
+PPTX_EXACT = [
+    "powerpoint_bad_text", "powerpoint_sample", "powerpoint_with_image",
+]
+
+
+@requires_reference
+@pytest.mark.parametrize("name", DOCX_EXACT)
+def test_docx_fixture_golden(name):
+    from doc_parser_ray.functions.docx_extract import extract_docx
+
+    with open(f"/root/reference/tests/data/docx/{name}.docx", "rb") as f:
+        res = extract_docx(f.read())
+    assert res.status == "ok"
+    with open(f"{GOLDEN_DIR}/{name}.docx.md") as f:
+        golden = f.read().strip()
+    assert items_to_markdown(res.items).strip() == golden
+
+
+@requires_reference
+def test_xlsx_fixture_golden():
+    from doc_parser_ray.functions.xlsx_extract import extract_xlsx
+
+    with open("/root/reference/tests/data/xlsx/test-01.xlsx", "rb") as f:
+        res = extract_xlsx(f.read())
+    assert res.status == "ok"
+    with open(f"{GOLDEN_DIR}/test-01.xlsx.md") as f:
+        golden = f.read().strip()
+    assert items_to_markdown(res.items).strip() == golden
+
+
+@requires_reference
+@pytest.mark.parametrize("name", PPTX_EXACT)
+def test_pptx_fixture_golden(name):
+    from doc_parser_ray.functions.pptx_extract import extract_pptx
+
+    with open(f"/root/reference/tests/data/pptx/{name}.pptx", "rb") as f:
+        res = extract_pptx(f.read())
+    assert res.status == "ok"
+    with open(f"{GOLDEN_DIR}/{name}.pptx.md") as f:
+        golden = f.read().strip()
+    assert items_to_markdown(res.items).strip() == golden
+
+
+@requires_reference
+def test_docx_equations_plain_text_deviation():
+    """equations.docx: math content must still be extracted (as plain
+    math-run text), only the LaTeX rendering deviates."""
+    from doc_parser_ray.functions.docx_extract import extract_docx
+
+    with open("/root/reference/tests/data/docx/equations.docx", "rb") as f:
+        res = extract_docx(f.read())
+    assert res.status == "ok"
+    text = "\n".join(i.text for i in res.items)
+    assert "inline equation" in text
+    # the equation's symbols surface (plain, not LaTeX)
+    assert "π" in text or "pi" in text.lower()
+
+
 @requires_reference
 @pytest.mark.parametrize("name", MD_EXACT)
 def test_markdown_fixture_golden(name):
