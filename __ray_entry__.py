@@ -245,8 +245,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "extract_roundtrip": """
             SELECT doc_id,
-                   CASE WHEN doc_id % 9 = 4
+                   CASE WHEN doc_id % 10 = 4
                         THEN 'text | k' || chr(10) || TRIM(text) || ' | x'
+                        WHEN doc_id % 10 = 9
+                        THEN 'Doc ' || doc_id || chr(10) || TRIM(text)
                         ELSE TRIM(text) END AS extracted_text
             FROM documents ORDER BY doc_id
         """,

@@ -26,6 +26,7 @@ SECTION_HEADER = "section_header"
 TEXT = "text"
 PARAGRAPH = "paragraph"
 CODE = "code"
+FORMULA = "formula"
 LIST_ITEM = "list_item"
 TABLE = "table"
 CAPTION = "caption"

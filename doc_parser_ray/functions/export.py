@@ -19,6 +19,7 @@ import pyarrow as pa
 from doc_parser_ray.datamodel import (
     CAPTION,
     CODE,
+    FORMULA,
     LIST_ITEM,
     SECTION_HEADER,
     TABLE,
@@ -101,7 +102,9 @@ def items_to_markdown(items) -> str:
 
     def esc(t: str) -> str:
         # docling's markdown serializer escapes these in prose items
-        return t.replace("&", "&amp;").replace("_", "\\_")
+        # (html.escape semantics for &/</> plus markdown underscore)
+        return (t.replace("&", "&amp;").replace("<", "&lt;")
+                .replace(">", "&gt;").replace("_", "\\_"))
 
     blocks: list[str] = []
     list_run: list[str] = []
@@ -136,8 +139,11 @@ def items_to_markdown(items) -> str:
             blocks.append("#" * (max(it.level, 1) + 1) + f" {esc(it.text)}")
         elif it.label == CODE:
             blocks.append(f"```\n{it.text}\n```")
+        elif it.label == FORMULA:
+            blocks.append(f"$${it.text}$$")
         elif it.label == TABLE:
-            blocks.append(_md_table(it.text))
+            # a backend-prerendered table (JATS escape-after-pad) wins
+            blocks.append(it.md_text if it.md_text else _md_table(it.text))
         elif it.md_text:
             # inline formatting pre-rendered by the backend (DOCX runs)
             blocks.append(it.md_text)
@@ -147,25 +153,29 @@ def items_to_markdown(items) -> str:
     return "\n\n".join(blocks)
 
 
-def _md_table(text: str) -> str:
+def _md_table(text: str, escape_after: bool = False) -> str:
     """Aligned github-style grid from our ' | '-joined table text.
 
     Width/alignment rules reverse-engineered from the reference's
     tabulate-produced goldens: column width = max(longest body cell,
-    header length + 2); all-numeric body columns right-align (header
-    included)."""
+    header length + 2); body columns right-align when every cell is
+    numeric AND non-empty (tabulate treats an empty cell as
+    non-numeric); cells render raw (the HTML goldens keep "&"
+    unescaped). ``escape_after=True`` (JATS goldens) applies the prose
+    escaping to the FINISHED padded text — widths stay raw, escaped
+    entities overflow their columns exactly like the reference's."""
     rows = [r.split(" | ") for r in text.split("\n")]
     n_cols = max(len(r) for r in rows)
     rows = [r + [""] * (n_cols - len(r)) for r in rows]
     header, body = rows[0], rows[1:]
 
     def _numeric(c: int) -> bool:
-        vals = [r[c] for r in body if r[c]]
-        if not vals:
+        vals = [r[c] for r in body]
+        if not any(vals):
             return False
         try:
             for v in vals:
-                float(v)
+                float(v)  # empty cell → ValueError → non-numeric
             return True
         except ValueError:
             return False
@@ -184,7 +194,17 @@ def _md_table(text: str) -> str:
         out.append("| " + " | ".join(cells) + " |")
         if i == 0:
             out.append("|" + "|".join("-" * (w + 2) for w in widths) + "|")
-    return "\n".join(out)
+    rendered = "\n".join(out)
+    if escape_after:
+        rendered = (rendered.replace("&", "&amp;").replace("<", "&lt;")
+                    .replace(">", "&gt;"))
+        # underscores escape only OUTSIDE $$...$$ math spans
+        segs = rendered.split("$$")
+        rendered = "$$".join(
+            seg.replace("_", "\\_") if i % 2 == 0 else seg
+            for i, seg in enumerate(segs)
+        )
+    return rendered
 
 
 _RENDERERS = {

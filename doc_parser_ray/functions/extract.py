@@ -22,6 +22,7 @@ from doc_parser_ray.datamodel import (
 from doc_parser_ray.functions.asciidoc_extract import extract_asciidoc
 from doc_parser_ray.functions.csv_extract import extract_csv
 from doc_parser_ray.functions.docx_extract import extract_docx
+from doc_parser_ray.functions.jats_extract import extract_jats
 from doc_parser_ray.functions.pptx_extract import extract_pptx
 from doc_parser_ray.functions.xlsx_extract import extract_xlsx
 from doc_parser_ray.functions.html_extract import extract_html
@@ -53,6 +54,10 @@ def extract_payload(text: str, tool: str = "") -> tuple[str, ParseResult]:
             res = extract_plain_text(text)
     elif fmt == "csv":
         res = extract_csv(text)
+        if res.status == STATUS_PARSE_ERROR:
+            res = extract_plain_text(text)
+    elif fmt == "jats":
+        res = extract_jats(text)
         if res.status == STATUS_PARSE_ERROR:
             res = extract_plain_text(text)
     elif fmt == "pdf":

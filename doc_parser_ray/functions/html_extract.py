@@ -609,7 +609,12 @@ def parse_table_grid(tag: _Node) -> list[list[str | None]] | None:
             val = cell.attrs.get("colspan", "1")
             colspan = int(val) if isinstance(val, str) and val.isnumeric() else 1
             col_count += colspan
-            if cell.name == "td" or cell.attrs.get("rowspan") is None:
+            if cell.name == "td" or cell.attrs.get("rowspan") in (None, "1"):
+                # an explicit rowspan="1" is NOT a vertical header span:
+                # JATS tables mark every th with rowspan="1" and the
+                # reference's committed goldens keep those header rows
+                # (the current reference code would drop them — stale
+                # goldens, same situation as its asciidoc fixtures)
                 is_row_header = False
         num_cols = max(num_cols, col_count)
         if not is_row_header:
@@ -623,7 +628,7 @@ def parse_table_grid(tag: _Node) -> list[list[str | None]] | None:
         cells = _find_all(row, {"td", "th"})
         row_header = True
         for cell in cells:
-            if cell.name == "td" or cell.attrs.get("rowspan") is None:
+            if cell.name == "td" or cell.attrs.get("rowspan") in (None, "1"):
                 row_header = False
         if not row_header:
             row_idx += 1

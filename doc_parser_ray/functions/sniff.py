@@ -33,7 +33,11 @@ _MD_RE = re.compile(
 )
 
 VALID_TOOLS = {"html", "markdown", "text", "pdf", "csv", "asciidoc",
-               "docx", "xlsx", "pptx"}
+               "docx", "xlsx", "pptx", "jats"}
+
+_JATS_RE = re.compile(
+    r"<!DOCTYPE\s+article[^>]*JATS|<article\b", re.I,
+)
 
 
 def sniff_format(text: str, tool: str = "") -> str:
@@ -56,6 +60,12 @@ def sniff_format(text: str, tool: str = "") -> str:
         return "pdf"
     if stripped.startswith("UEsDB"):  # base64 of zip magic PK\x03\x04
         return "office_zip"
+    if stripped.startswith("<?xml") or stripped.startswith("<!DOCTYPE"):
+        # XML prolog: JATS article detection (document.py:440-477 analog)
+        if _JATS_RE.search(head):
+            return "jats"
+    elif stripped.startswith("<article"):
+        return "jats"
     if _HTML_DECL_RE.search(head):
         return "html"
     if _HTML_TAG_RE.search(head):

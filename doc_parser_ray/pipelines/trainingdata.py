@@ -432,11 +432,11 @@ def media_pipeline(sf_dir: str, n: int = 150) -> pa.Table:
 def extract_roundtrip(sf_dir: str) -> pa.Table:
     """SQL-verifiable extraction correctness: wrap each document's text
     into HTML / markdown / plain / PDF / CSV / AsciiDoc / DOCX / XLSX /
-    PPTX (by doc_id % 9), run the real extraction stage, return
+    PPTX / JATS (by doc_id % 10), run the real extraction stage, return
     (doc_id, extracted_text). The DuckDB oracle knows the expected
     extraction per wrapper (trim(text) for eight of them; header +
-    newline + text for CSV), proving all nine parser paths through the
-    driver's value-hash gate."""
+    newline + text for CSV; title + newline + text for JATS), proving
+    all ten parser paths through the driver's value-hash gate."""
     from doc_parser_ray.sources.office_gen import (
         simple_docx,
         simple_pptx,
@@ -449,7 +449,7 @@ def extract_roundtrip(sf_dir: str) -> pa.Table:
         payloads, tools = [], []
         for i, t in zip(ids, texts):
             t = (t or "").strip()
-            m = i % 9
+            m = i % 10
             if m == 0:
                 # script/style boilerplate must vanish; no headings → all
                 # body, so the oracle is exactly trim(text)
@@ -482,9 +482,19 @@ def extract_roundtrip(sf_dir: str) -> pa.Table:
                 payloads.append(base64.b64encode(
                     simple_xlsx([[t]])).decode())
                 tools.append("xlsx")
-            else:
+            elif m == 8:
                 payloads.append(base64.b64encode(simple_pptx([t])).decode())
                 tools.append("pptx")
+            else:
+                from xml.sax.saxutils import escape as _xesc
+
+                payloads.append(
+                    "<article><front><article-meta><title-group>"
+                    f"<article-title>Doc {i}</article-title>"
+                    "</title-group></article-meta></front>"
+                    f"<body><p>{_xesc(t)}</p></body></article>"
+                )
+                tools.append("jats")
         n = len(ids)
         return pa.table(
             {

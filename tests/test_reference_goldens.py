@@ -180,6 +180,41 @@ def test_pptx_fixture_golden(name):
     assert items_to_markdown(res.items).strip() == golden
 
 
+# JATS fixtures: ALL five byte-exact (incl. the 250 KB elife article
+# with its tables, figures, citation lists and nbsp/em-space quirks)
+JATS_EXACT = [
+    "bmj_sample", "elife-56337", "pnas_sample", "pntd.0008301",
+    "pone.0234687",
+]
+
+
+@requires_reference
+@pytest.mark.parametrize("name", JATS_EXACT)
+def test_jats_fixture_golden(name):
+    from doc_parser_ray.functions.jats_extract import extract_jats
+
+    with open(f"/root/reference/tests/data/jats/{name}.xml", "rb") as f:
+        res = extract_jats(f.read())
+    assert res.status == "ok"
+    with open(f"{GOLDEN_DIR}/{name}.xml.md") as f:
+        golden = f.read().strip()
+    assert items_to_markdown(res.items).strip() == golden
+
+
+@requires_reference
+@pytest.mark.parametrize(
+    "name", ["elife-56337", "pntd.0008301", "pone.0234687"])
+def test_jats_nxml_variant_parses(name):
+    """The .nxml variants have no goldens — they must still parse to a
+    non-trivial item stream."""
+    from doc_parser_ray.functions.jats_extract import extract_jats
+
+    with open(f"/root/reference/tests/data/jats/{name}.nxml", "rb") as f:
+        res = extract_jats(f.read())
+    assert res.status == "ok"
+    assert len(res.items) > 50
+
+
 @requires_reference
 def test_docx_equations_plain_text_deviation():
     """equations.docx: math content must still be extracted (as plain
