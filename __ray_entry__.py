@@ -127,6 +127,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal (decode / resize / frame-sample / features)
         "media_decode": T.media_decode,
         "media_pipeline": T.media_pipeline,
+        # C2 tokenizer actor pool + wordpiece chunking
+        "text_tokens_bpe": T.text_tokens_bpe,
+        "chunk_transcripts_bpe": T.chunk_transcripts_bpe,
+        # S10 lossless document-JSON re-load
+        "doc_json_roundtrip": T.doc_json_roundtrip,
+        # ConfidenceReport per-conversation rollup
+        "conv_confidence": T.conv_confidence,
         # metadata extraction (E5 deterministic normalizers)
         "doc_metadata": T.doc_metadata,
         # sink projections (S6/S8 markdown + doctags writers)
@@ -250,6 +257,10 @@ def oracle_sql() -> dict[str, str]:
                         WHEN doc_id % 10 = 9
                         THEN 'Doc ' || doc_id || chr(10) || TRIM(text)
                         ELSE TRIM(text) END AS extracted_text
+            FROM documents ORDER BY doc_id
+        """,
+        "doc_json_roundtrip": """
+            SELECT doc_id, TRIM(text) AS extracted_text
             FROM documents ORDER BY doc_id
         """,
         "dedup_exact": r"""

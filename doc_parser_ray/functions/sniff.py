@@ -33,7 +33,7 @@ _MD_RE = re.compile(
 )
 
 VALID_TOOLS = {"html", "markdown", "text", "pdf", "csv", "asciidoc",
-               "docx", "xlsx", "pptx", "jats"}
+               "docx", "xlsx", "pptx", "jats", "doc_json"}
 
 _JATS_RE = re.compile(
     r"<!DOCTYPE\s+article[^>]*JATS|<article\b", re.I,
@@ -60,6 +60,8 @@ def sniff_format(text: str, tool: str = "") -> str:
         return "pdf"
     if stripped.startswith("UEsDB"):  # base64 of zip magic PK\x03\x04
         return "office_zip"
+    if stripped.startswith("{") and '"doc_parser_ray/items@1"' in head:
+        return "doc_json"  # S10: lossless document-JSON re-load
     if stripped.startswith("<?xml") or stripped.startswith("<!DOCTYPE"):
         # XML prolog: JATS article detection (document.py:440-477 analog)
         if _JATS_RE.search(head):

@@ -196,6 +196,11 @@ def run_extraction(
             s: int(c) for s, c in zip(agg["status"], agg["count()"])
         }
         sums = written.sum(["n_chars_in", "n_chars_out"])
+        # ConfidenceReport-style shard rollup (grade histogram + scores
+        # over the shard's conversations) rides the lineage marker
+        from doc_parser_ray.stages.confidence import shard_confidence_summary
+
+        confidence = shard_confidence_summary(shard_out)
         wall = time.perf_counter() - t0
         rows_out = int(sum(status_hist.values()))
         record = shard_lineage(
@@ -208,6 +213,7 @@ def run_extraction(
             chars_in=int(sums["sum(n_chars_in)"]),
             chars_out=int(sums["sum(n_chars_out)"]),
             wall_sec=wall,
+            confidence=confidence,
         )
         write_marker(out_dir, k, record)
         records.append(record)

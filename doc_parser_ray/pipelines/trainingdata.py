@@ -228,6 +228,87 @@ def doc_fingerprints(sf_dir: str) -> pa.Table:
     return _collect(out).sort_by([("doc_id", "ascending")])
 
 
+def text_tokens_bpe(sf_dir: str) -> pa.Table:
+    """C2: per-doc WordPiece token counts via the tokenizer actor pool
+    (stages/tokenize.py). Deterministic but not SQL-expressible →
+    rows-only check; determinism and actor-vs-local equality are
+    unit-tested."""
+    from doc_parser_ray.stages.tokenize import count_tokens_dataset
+
+    out = count_tokens_dataset(_docs(sf_dir), text_col="text",
+                               concurrency=(1, 4))
+    return _collect(out.select_columns(["doc_id", "n_tokens_bpe"])) \
+        .sort_by([("doc_id", "ascending")])
+
+
+def doc_json_roundtrip(sf_dir: str) -> pa.Table:
+    """S10: serialize each document as the lossless document JSON, then
+    re-load it through the sniffer + dispatcher (no original-format
+    reparse) and return the extraction. Oracle: trim(text)."""
+    from doc_parser_ray.datamodel import Item
+    from doc_parser_ray.functions.doc_json import items_to_doc_json
+    from doc_parser_ray.functions.extract import extract_payload
+
+    def roundtrip(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out = []
+        for t in texts:
+            payload = items_to_doc_json(
+                [Item(label="text", text=(t or "").strip())]
+            )
+            fmt, res = extract_payload(payload, "")
+            assert fmt == "doc_json", fmt
+            out.append("\n".join(i.text for i in res.items))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "extracted_text": pa.array(out, pa.string()),
+        })
+
+    out = _docs(sf_dir).map_batches(roundtrip, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    return _collect(out).sort_by([("doc_id", "ascending")])
+
+
+def chunk_transcripts_bpe(sf_dir: str, max_tokens: int = 120) -> pa.Table:
+    """C1–C5 with REAL WordPiece token budgets (the tokenizer actor
+    pool, C2) instead of the words*1.3 estimate. Rows-only check."""
+    from doc_parser_ray.stages.chunk import assemble_chunk_counters
+    from doc_parser_ray.stages.extract import apply_extract
+    from doc_parser_ray.stages.tokenize import chunk_turns_wordpiece
+    from doc_parser_ray.sources.transcripts import transcripts_dataset
+
+    ds = transcripts_dataset(n_convs=100, seed=42, max_turns=60)
+    chunks = chunk_turns_wordpiece(apply_extract(ds), max_tokens=max_tokens,
+                                   concurrency=(1, 4))
+    out = assemble_chunk_counters(chunks, num_partitions=16)
+    return _collect(out).sort_by(
+        [("conv_id", "ascending"), ("chunk_ord", "ascending")]
+    )
+
+
+def conv_confidence(sf_dir: str) -> pa.Table:
+    """ConfidenceReport-style per-conversation rollup over extracted
+    synthetic transcripts (nan-mean of per-turn parse scores + grades).
+    Deterministic; rows-only check (quantile/grade logic unit-tested)."""
+    from doc_parser_ray.stages.confidence import confidence_rollup
+    from doc_parser_ray.stages.extract import apply_extract
+    from doc_parser_ray.sources.transcripts import transcripts_dataset
+
+    ds = apply_extract(transcripts_dataset(n_convs=80, seed=42,
+                                           max_turns=40))
+    tab = _collect(confidence_rollup(ds))
+    import pyarrow.compute as _pc
+
+    # fixed-point for stable hashing of float scores
+    for col in ("mean_score", "low_score"):
+        idx = tab.column_names.index(col)
+        e4 = _pc.cast(_pc.floor(_pc.add(
+            _pc.multiply(tab.column(col), 10000.0), 0.5)), pa.int64())
+        tab = tab.remove_column(idx).append_column(f"{col}_e4", e4)
+    return tab.sort_by([("conv_id", "ascending")])
+
+
 # --------------------------------------------------------- similarity
 
 

@@ -63,7 +63,8 @@ CHUNK_SCHEMA = pa.schema(
 )
 
 
-def _split_oversize(text: str, budget_tokens: int) -> list[str]:
+def _split_oversize(text: str, budget_tokens: int,
+                    count_fn=count_tokens) -> list[str]:
     """Split one oversize item into ≤ budget_tokens pieces on word
     boundaries (the deterministic analog of the reference's semchunk
     table split, intelligent_processor.py:627-653)."""
@@ -72,7 +73,7 @@ def _split_oversize(text: str, budget_tokens: int) -> list[str]:
     cur: list[str] = []
     cur_tokens = 0
     for w in words:
-        t = count_tokens(w) or 1
+        t = count_fn(w) or 1
         if cur and cur_tokens + t > budget_tokens:
             pieces.append(" ".join(cur))
             cur, cur_tokens = [], 0
@@ -90,11 +91,15 @@ def chunk_items(
     max_tokens: int = 2000,
     table_split_tokens: int = 4096,
     merge_min_tokens: int | None = None,
+    count_fn=count_tokens,
 ) -> list[dict]:
     """C1+C3+C4 over one turn's item list.
 
     ``items``: span dicts ({label, ...}) aligned with ``texts`` (the
     sliced item texts). Returns chunk dicts with text/headings/tokens.
+    ``count_fn``: token counter — the default is the reference's
+    words*1.3 fallback estimate; the WordPiece actor stage
+    (stages/tokenize.py) binds its per-actor tokenizer here (C2).
     """
     if merge_min_tokens is None:
         merge_min_tokens = max_tokens // 3
@@ -115,7 +120,7 @@ def chunk_items(
             continue
         ctx = tuple(headings[lv] for lv in sorted(headings))
         span = (int(sp.get("start", -1)), int(sp.get("end", -1)))
-        annotated.append((ctx, label, text, count_tokens(text), span))
+        annotated.append((ctx, label, text, count_fn(text), span))
 
     # --- C3: greedy accumulation, tables standalone, oversize split
     chunks: list[dict] = []
@@ -128,7 +133,7 @@ def chunk_items(
             {
                 "text": text,
                 "headings": list(ctx),
-                "n_tokens": count_tokens(text),
+                "n_tokens": count_fn(text),
                 "body_tokens": tokens,
                 "is_table": is_table,
                 "span": span,
@@ -158,8 +163,8 @@ def chunk_items(
             # reference: a table is always its own chunk (:627-653)
             flush()
             if tokens > table_split_tokens:
-                for piece in _split_oversize(text, table_split_tokens):
-                    emit(ctx, [piece], count_tokens(piece), True, span)
+                for piece in _split_oversize(text, table_split_tokens, count_fn):
+                    emit(ctx, [piece], count_fn(piece), True, span)
             else:
                 emit(ctx, [text], tokens, True, span)
             cur_ctx = ctx
@@ -170,8 +175,8 @@ def chunk_items(
             cur_ctx = ctx
         if tokens > max_tokens:
             flush()
-            for piece in _split_oversize(text, max_tokens):
-                emit(ctx, [piece], count_tokens(piece), False, span)
+            for piece in _split_oversize(text, max_tokens, count_fn):
+                emit(ctx, [piece], count_fn(piece), False, span)
             continue
         if cur_parts and cur_tokens + tokens > max_tokens:
             flush()
@@ -211,7 +216,7 @@ def chunk_items(
             c = {
                 "text": prefix + body,
                 "headings": c["headings"],
-                "n_tokens": count_tokens(prefix + body),
+                "n_tokens": count_fn(prefix + body),
                 "body_tokens": c["body_tokens"] + nxt["body_tokens"],
                 "is_table": False,
                 "span": merged_span,
@@ -223,7 +228,8 @@ def chunk_items(
 
 
 def chunk_batch(batch: pa.Table, *, max_tokens: int = 2000,
-                table_split_tokens: int = 4096) -> pa.Table:
+                table_split_tokens: int = 4096,
+                count_fn=count_tokens) -> pa.Table:
     """1 extracted row → N chunk rows (stateless flat map)."""
     conv_ids = batch.column("conv_id").to_pylist()
     turn_idxs = batch.column("turn_idx").to_pylist()
@@ -238,7 +244,7 @@ def chunk_batch(batch: pa.Table, *, max_tokens: int = 2000,
         texts = [full[sp["start"]: sp["end"]] for sp in spans]
         chunks = chunk_items(
             spans, texts, max_tokens=max_tokens,
-            table_split_tokens=table_split_tokens,
+            table_split_tokens=table_split_tokens, count_fn=count_fn,
         )
         n_of_turn = len(chunks)
         for ci, ch in enumerate(chunks):

@@ -70,10 +70,14 @@ def shard_lineage(
     chars_in: int,
     chars_out: int,
     wall_sec: float,
+    confidence: dict | None = None,
 ) -> dict:
     """Build the per-partition lineage + metrics record (north rule:
-    turns/sec, boilerplate-removal ratio, parse-failure counts)."""
+    turns/sec, boilerplate-removal ratio, parse-failure counts;
+    ``confidence`` = the shard's ConfidenceReport-style rollup —
+    grade histogram + nan-mean scores over its conversations)."""
     return {
+        **({"confidence": confidence} if confidence else {}),
         "shard": shard,
         "engine_version": __version__,
         "input_fingerprint": input_fingerprint,
