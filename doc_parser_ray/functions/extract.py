@@ -60,6 +60,12 @@ def extract_payload(text: str, tool: str = "") -> tuple[str, ParseResult]:
         res = extract_jats(text)
         if res.status == STATUS_PARSE_ERROR:
             res = extract_plain_text(text)
+    elif fmt == "uspto":
+        from doc_parser_ray.functions.uspto_extract import extract_uspto
+
+        res = extract_uspto(text)
+        if res.status == STATUS_PARSE_ERROR:
+            res = extract_plain_text(text)
     elif fmt == "doc_json":
         from doc_parser_ray.functions.doc_json import extract_doc_json
 

@@ -33,10 +33,14 @@ _MD_RE = re.compile(
 )
 
 VALID_TOOLS = {"html", "markdown", "text", "pdf", "csv", "asciidoc",
-               "docx", "xlsx", "pptx", "jats", "doc_json"}
+               "docx", "xlsx", "pptx", "jats", "uspto", "doc_json"}
 
 _JATS_RE = re.compile(
     r"<!DOCTYPE\s+article[^>]*JATS|<article\b", re.I,
+)
+_USPTO_RE = re.compile(
+    r"<!DOCTYPE\s+(?:us-patent-application|us-patent-grant|PATDOC"
+    r"|patent-application-publication)\b", re.I,
 )
 
 
@@ -62,8 +66,12 @@ def sniff_format(text: str, tool: str = "") -> str:
         return "office_zip"
     if stripped.startswith("{") and '"doc_parser_ray/items@1"' in head:
         return "doc_json"  # S10: lossless document-JSON re-load
+    if stripped.startswith("PATN\n") or stripped == "PATN":
+        return "uspto"  # APS grant text format
     if stripped.startswith("<?xml") or stripped.startswith("<!DOCTYPE"):
-        # XML prolog: JATS article detection (document.py:440-477 analog)
+        # XML prolog: USPTO / JATS detection (document.py:440-477 analog)
+        if _USPTO_RE.search(head):
+            return "uspto"
         if _JATS_RE.search(head):
             return "jats"
     elif stripped.startswith("<article"):

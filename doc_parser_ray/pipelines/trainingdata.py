@@ -513,7 +513,7 @@ def media_pipeline(sf_dir: str, n: int = 150) -> pa.Table:
 def extract_roundtrip(sf_dir: str) -> pa.Table:
     """SQL-verifiable extraction correctness: wrap each document's text
     into HTML / markdown / plain / PDF / CSV / AsciiDoc / DOCX / XLSX /
-    PPTX / JATS (by doc_id % 10), run the real extraction stage, return
+    PPTX / JATS / USPTO (by doc_id % 11), run the real extraction stage, return
     (doc_id, extracted_text). The DuckDB oracle knows the expected
     extraction per wrapper (trim(text) for eight of them; header +
     newline + text for CSV; title + newline + text for JATS), proving
@@ -530,7 +530,7 @@ def extract_roundtrip(sf_dir: str) -> pa.Table:
         payloads, tools = [], []
         for i, t in zip(ids, texts):
             t = (t or "").strip()
-            m = i % 10
+            m = i % 11
             if m == 0:
                 # script/style boilerplate must vanish; no headings → all
                 # body, so the oracle is exactly trim(text)
@@ -566,7 +566,7 @@ def extract_roundtrip(sf_dir: str) -> pa.Table:
             elif m == 8:
                 payloads.append(base64.b64encode(simple_pptx([t])).decode())
                 tools.append("pptx")
-            else:
+            elif m == 9:
                 from xml.sax.saxutils import escape as _xesc
 
                 payloads.append(
@@ -576,6 +576,18 @@ def extract_roundtrip(sf_dir: str) -> pa.Table:
                     f"<body><p>{_xesc(t)}</p></body></article>"
                 )
                 tools.append("jats")
+            else:
+                from xml.sax.saxutils import escape as _xesc
+
+                payloads.append(
+                    '<?xml version="1.0" encoding="UTF-8"?>\n'
+                    '<!DOCTYPE us-patent-application SYSTEM '
+                    '"us-patent-application-v44.dtd">\n'
+                    "<us-patent-application><description>"
+                    f"<p>{_xesc(t)}</p>"
+                    "</description></us-patent-application>"
+                )
+                tools.append("uspto")
         n = len(ids)
         return pa.table(
             {

@@ -215,6 +215,42 @@ def test_jats_nxml_variant_parses(name):
     assert len(res.items) > 50
 
 
+# USPTO fixtures: ALL five byte-exact, covering four dialects — ICE
+# v4.x applications (ipa*), Grant v2.5 (pg*), AppV1 (pa*), and the APS
+# plain-text grant format (pftaps*), incl. OASIS table parsing
+USPTO_EXACT = [
+    "ipa20180000016", "ipa20200022300", "pa20010031492",
+    "pftaps057006474", "pg06442728",
+]
+_USPTO_EXT = {"pftaps057006474": "txt"}
+
+
+@requires_reference
+@pytest.mark.parametrize("name", USPTO_EXACT)
+def test_uspto_fixture_golden(name):
+    from doc_parser_ray.functions.uspto_extract import extract_uspto
+
+    ext = _USPTO_EXT.get(name, "xml")
+    with open(f"/root/reference/tests/data/uspto/{name}.{ext}", "rb") as f:
+        res = extract_uspto(f.read())
+    assert res.status == "ok"
+    with open(f"{GOLDEN_DIR}/{name}.md") as f:
+        golden = f.read().strip()
+    assert items_to_markdown(res.items).strip() == golden
+
+
+@requires_reference
+@pytest.mark.parametrize("name", [
+    "ipa20110039701", "ipg07997973", "ipg08672134", "ipgD0701016"])
+def test_uspto_goldenless_fixtures_parse(name):
+    from doc_parser_ray.functions.uspto_extract import extract_uspto
+
+    with open(f"/root/reference/tests/data/uspto/{name}.xml", "rb") as f:
+        res = extract_uspto(f.read())
+    assert res.status == "ok"
+    assert len(res.items) > 5
+
+
 @requires_reference
 def test_docx_equations_plain_text_deviation():
     """equations.docx: math content must still be extracted (as plain
