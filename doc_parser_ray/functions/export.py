@@ -207,10 +207,63 @@ def _md_table(text: str, escape_after: bool = False) -> str:
     return rendered
 
 
+def to_html(items) -> str:
+    """S7 ``save_as_html`` analog: minimal semantic HTML serialization
+    of the item sequence (docling/cli/main.py:205-237; the reference's
+    split-page visualizer needs rendered page images — out of scope).
+
+    Self-consistency contract (tested): feeding the output back through
+    ``extract_html`` reproduces the same item texts, so the writer and
+    the HTML backend agree on one document model."""
+    from html import escape as _esc
+
+    out: list[str] = ["<!DOCTYPE html>", "<html><body>"]
+    open_list = False
+
+    def close_list() -> None:
+        nonlocal open_list
+        if open_list:
+            out.append("</ul>")
+            open_list = False
+
+    for label, text, level in items:
+        if label == LIST_ITEM:
+            if not open_list:
+                out.append("<ul>")
+                open_list = True
+            out.append(f"<li>{_esc(text)}</li>")
+            continue
+        close_list()
+        if label == TITLE:
+            out.append(f"<h1>{_esc(text)}</h1>")
+        elif label == SECTION_HEADER:
+            h = min(max(level, 1) + 1, 6)
+            out.append(f"<h{h}>{_esc(text)}</h{h}>")
+        elif label == CODE:
+            out.append(f"<pre>{_esc(text)}</pre>")
+        elif label == TABLE:
+            rows = text.split("\n")
+            out.append("<table>")
+            for r in rows:
+                cells = "".join(f"<td>{_esc(c)}</td>"
+                                for c in r.split(" | "))
+                out.append(f"<tr>{cells}</tr>")
+            out.append("</table>")
+        elif label == CAPTION:
+            out.append(f"<figure><figcaption>{_esc(text)}</figcaption>"
+                       f"</figure>")
+        elif text:
+            out.append(f"<p>{_esc(text)}</p>")
+    close_list()
+    out.append("</body></html>")
+    return "\n".join(out)
+
+
 _RENDERERS = {
     "markdown": to_markdown,
     "text": to_text,
     "doctags": to_doctags,
+    "html": to_html,
 }
 
 

@@ -82,7 +82,7 @@ def extract_payload(text: str, tool: str = "") -> tuple[str, ParseResult]:
                     items=[], status=STATUS_PARSE_ERROR, error=f"base64: {e}"
                 )
         res = extract_pdf(data)
-    elif fmt in ("docx", "xlsx", "pptx", "office_zip"):
+    elif fmt in ("docx", "xlsx", "pptx", "hwpx", "office_zip"):
         try:
             data = base64.b64decode(text.strip(), validate=True)
         except (binascii.Error, ValueError) as e:
@@ -114,6 +114,8 @@ def _extract_office(data: bytes, fmt: str) -> tuple[str, ParseResult]:
             fmt = "xlsx"
         elif "ppt/presentation.xml" in names:
             fmt = "pptx"
+        elif any(n.startswith("Contents/section") for n in names):
+            fmt = "hwpx"
         else:
             return fmt, ParseResult(items=[], status=STATUS_PARSE_ERROR,
                                     error="unrecognized office zip")
@@ -123,5 +125,9 @@ def _extract_office(data: bytes, fmt: str) -> tuple[str, ParseResult]:
         return fmt, extract_xlsx(data)
     if fmt == "pptx":
         return fmt, extract_pptx(data)
+    if fmt == "hwpx":
+        from doc_parser_ray.functions.hwpx_extract import extract_hwpx
+
+        return fmt, extract_hwpx(data)
     return fmt, ParseResult(items=[], status=STATUS_PARSE_ERROR,
                             error=f"unsupported office format {fmt}")

@@ -33,7 +33,8 @@ _MD_RE = re.compile(
 )
 
 VALID_TOOLS = {"html", "markdown", "text", "pdf", "csv", "asciidoc",
-               "docx", "xlsx", "pptx", "jats", "uspto", "doc_json"}
+               "docx", "xlsx", "pptx", "hwpx", "jats", "uspto",
+               "doc_json"}
 
 _JATS_RE = re.compile(
     r"<!DOCTYPE\s+article[^>]*JATS|<article\b", re.I,

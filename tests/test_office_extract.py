@@ -81,6 +81,53 @@ class TestPptx:
         assert extract_pptx(b"junk").status == "parse_error"
 
 
+class TestHwpx:
+    SAMPLE = ("/root/reference/genon/preprocessor/sample_files/"
+              "hwpx_sample.hwpx")
+
+    def test_sample_document_extracts(self):
+        import os
+
+        import pytest as _pytest
+
+        from doc_parser_ray.functions.hwpx_extract import extract_hwpx
+
+        if not os.path.exists(self.SAMPLE):
+            _pytest.skip("reference sample missing")
+        with open(self.SAMPLE, "rb") as f:
+            res = extract_hwpx(f.read())
+        assert res.status == "ok"
+        labels = {i.label for i in res.items}
+        # real structure: headers, tables, lists and prose all present
+        assert {"section_header", "table", "list_item", "text"} <= labels
+        assert len(res.items) > 200
+        all_text = "\n".join(i.text for i in res.items)
+        # known content of the reference's own sample document
+        assert "인구동향조사" in all_text
+        assert "2020년 다문화 인구동태" in all_text
+
+    def test_dispatcher_zip_disambiguation(self):
+        import os
+
+        import pytest as _pytest
+
+        from doc_parser_ray.functions.extract import extract_payload
+
+        if not os.path.exists(self.SAMPLE):
+            _pytest.skip("reference sample missing")
+        with open(self.SAMPLE, "rb") as f:
+            b64 = base64.b64encode(f.read()).decode()
+        fmt, res = extract_payload(b64, "")
+        assert fmt == "hwpx"
+        assert res.status == "ok"
+
+    def test_garbage(self):
+        from doc_parser_ray.functions.hwpx_extract import extract_hwpx
+
+        assert extract_hwpx(b"junk").status == "parse_error"
+        assert extract_hwpx(simple_docx(["x"])).status == "parse_error"
+
+
 class TestDispatcher:
     def test_office_zip_disambiguation(self):
         for tool, data, want_fmt in [
