@@ -89,6 +89,12 @@ def _q_extract_transcripts(sf_dir: str):
     return extract_transcripts(ds, assemble=True, salt_bucket_turns=64)
 
 
+def _q_training_corpus(sf_dir: str):
+    from doc_parser_ray.pipelines.corpus import training_corpus
+
+    return training_corpus(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from doc_parser_ray.pipelines import relational as R
     from doc_parser_ray.pipelines import trainingdata as T
@@ -127,6 +133,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal (decode / resize / frame-sample / features)
         "media_decode": T.media_decode,
         "media_pipeline": T.media_pipeline,
+        # end-to-end training-corpus composition (extract -> dedup ->
+        # quality gate -> wordpiece chunk -> conv counters)
+        "training_corpus": _q_training_corpus,
         # C2 tokenizer actor pool + wordpiece chunking
         "text_tokens_bpe": T.text_tokens_bpe,
         "chunk_transcripts_bpe": T.chunk_transcripts_bpe,

@@ -114,7 +114,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "extract_roundtrip", "dedup_exact", "dedup_minhash",
         "dedup_simhash", "dedup_ngram",
         "text_quality", "knn_cosine", "media_decode", "media_pipeline",
-        "chunk_transcripts",
+        "chunk_transcripts", "training_corpus",
     ]
     qs = E.queries()
     times: dict[str, float] = {}

@@ -1,0 +1,122 @@
+"""End-to-end training-corpus pipeline — the 100 TB user story composed
+from the engine's stages as ONE streaming Dataset graph:
+
+    read transcripts
+      └─ extract            stateless pyarrow tasks (all format backends)
+      └─ exact-dedup turns  ONE bounded keyed exchange: rows co-located
+                            by content-hash partition, min-(conv,turn)
+                            winner kept in-partition — no driver set, no
+                            broadcast, no second pass
+      └─ quality gate       per-turn M1 parse score ≥ threshold
+      └─ chunk              WordPiece actor pool (C1–C4 with real token
+                            budgets)
+      └─ conv counters      bounded conv-keyed exchange (C5)
+
+Every stage is individually oracle- or unit-verified elsewhere; this
+module is the composition exemplar and is itself invariant-tested
+(no duplicate extracted text survives, all chunks meet the quality
+gate's provenance, counters are consistent).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+from doc_parser_ray.functions.confidence import turn_parse_score
+
+
+def dedup_turns_exact(ds, *, num_partitions: int = 64):
+    """Drop turns whose normalized extracted text repeats: hash key in
+    the map pass, ONE bounded exchange co-locates equal keys, the
+    in-partition winner is min (conv_id, turn_idx) — vectorized span
+    scan, shuffle carries full rows exactly once (the corpus would be
+    re-joined anyway; for key-only shuffles see stages/dedup.py)."""
+    from doc_parser_ray.functions.textstats import normalize_for_dedup
+    import hashlib
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        texts = batch.column("extracted_text").to_pylist()
+        keys, pkeys = [], []
+        for t in texts:
+            h = hashlib.sha1(normalize_for_dedup(t or "").encode()).hexdigest()
+            keys.append(h)
+            pkeys.append(zlib.crc32(h.encode()) % num_partitions)
+        return batch.append_column(
+            "dedup_key", pa.array(keys, pa.string())
+        ).append_column("pkey", pa.array(pkeys, pa.int32()))
+
+    def keep_winners(part: pa.Table) -> pa.Table:
+        part = part.sort_by([
+            ("dedup_key", "ascending"), ("conv_id", "ascending"),
+            ("turn_idx", "ascending"),
+        ])
+        n = part.num_rows
+        if n == 0:
+            return part.drop_columns(["pkey", "dedup_key"])
+        keys = np.asarray(part.column("dedup_key").to_pylist(), dtype=object)
+        first = np.ones(n, dtype=bool)
+        first[1:] = keys[1:] != keys[:-1]
+        return part.filter(pa.array(first)) \
+            .drop_columns(["pkey", "dedup_key"])
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+    return keyed.groupby("pkey").map_groups(keep_winners,
+                                            batch_format="pyarrow")
+
+
+def quality_gate(ds, *, min_parse_score: float = 0.5):
+    """Filter turns whose M1 parse score falls below the gate (the
+    corpus-quality analog of the reference's ConfidenceReport grades)."""
+    def gate(batch: pa.Table) -> pa.Table:
+        texts = batch.column("extracted_text").to_pylist()
+        spans = batch.column("spans").to_pylist()
+        scores = np.array([
+            turn_parse_score(t or "", s or "") for t, s in zip(texts, spans)
+        ])
+        keep = ~np.isnan(scores) & (scores >= min_parse_score)
+        out = batch.filter(pa.array(keep))
+        return out.append_column(
+            "parse_score", pa.array(scores[keep], pa.float64())
+        )
+
+    return ds.map_batches(gate, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def build_training_corpus(ds, *, max_tokens: int = 256,
+                          min_parse_score: float = 0.5,
+                          num_partitions: int = 32,
+                          tokenizer_concurrency=(1, 4)):
+    """Transcript Dataset → deduplicated, quality-gated, token-bounded
+    chunk records with global per-conversation counters."""
+    from doc_parser_ray.stages.chunk import assemble_chunk_counters
+    from doc_parser_ray.stages.extract import apply_extract
+    from doc_parser_ray.stages.tokenize import chunk_turns_wordpiece
+
+    extracted = apply_extract(ds)
+    extracted = extracted.filter(expr="status == 'ok'")
+    deduped = dedup_turns_exact(extracted, num_partitions=num_partitions)
+    gated = quality_gate(deduped, min_parse_score=min_parse_score)
+    chunks = chunk_turns_wordpiece(gated, max_tokens=max_tokens,
+                                   concurrency=tokenizer_concurrency)
+    return assemble_chunk_counters(chunks, num_partitions=num_partitions)
+
+
+def training_corpus(sf_dir: str) -> pa.Table:
+    """Driver-contract query: the composed pipeline over synthetic
+    transcripts (rows-only check — each stage is verified on its own;
+    composition invariants are unit-tested)."""
+    from doc_parser_ray.sources.transcripts import transcripts_dataset
+    from doc_parser_ray.util import collect_table
+
+    ds = transcripts_dataset(n_convs=80, seed=42, max_turns=40)
+    out = build_training_corpus(ds, max_tokens=128)
+    tab = collect_table(out.select_columns(
+        ["conv_id", "turn_idx", "chunk_idx", "chunk_text", "n_tokens",
+         "chunk_ord", "n_chunks_of_conv"]
+    ))
+    return tab.sort_by([("conv_id", "ascending"), ("chunk_ord", "ascending")])

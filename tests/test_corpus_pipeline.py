@@ -1,0 +1,78 @@
+"""Composition invariants of the end-to-end training-corpus pipeline."""
+
+import pytest
+
+import ray.data
+
+from doc_parser_ray.pipelines.corpus import (
+    build_training_corpus,
+    dedup_turns_exact,
+    quality_gate,
+)
+from doc_parser_ray.sources.transcripts import transcripts_dataset
+from doc_parser_ray.stages.extract import apply_extract
+from doc_parser_ray.util import collect_table
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCorpusPipeline:
+    def test_dedup_drops_repeated_turns(self):
+        import pyarrow as pa
+
+        tab = pa.table({
+            "conv_id": pa.array(["a", "a", "b", "c"]),
+            "turn_idx": pa.array([0, 1, 0, 0], pa.int32()),
+            "extracted_text": pa.array(
+                ["same text", "other", "Same  TEXT", "other"]),
+            "spans": pa.array([""] * 4),
+        })
+        out = collect_table(
+            dedup_turns_exact(ray.data.from_arrow(tab), num_partitions=4))
+        rows = sorted(
+            (r["conv_id"], r["turn_idx"]) for r in out.to_pylist())
+        # normalized-equal texts collapse to the min (conv, turn) winner
+        assert rows == [("a", 0), ("a", 1)]
+
+    def test_quality_gate_drops_garbage(self):
+        import pyarrow as pa
+
+        tab = pa.table({
+            "conv_id": pa.array(["a", "b"]),
+            "extracted_text": pa.array(
+                ["clean prose line", "GLYPH<0aff>"]),
+            "spans": pa.array(["", ""]),
+        })
+        out = collect_table(quality_gate(
+            ray.data.from_arrow(tab), min_parse_score=0.5))
+        assert out.column("conv_id").to_pylist() == ["a"]
+        assert out.column("parse_score").to_pylist()[0] >= 0.5
+
+    def test_end_to_end_invariants(self):
+        ds = transcripts_dataset(n_convs=30, seed=9, max_turns=25)
+        out = collect_table(build_training_corpus(ds, max_tokens=96))
+        rows = out.to_pylist()
+        assert rows
+        # counters: chunk_ord is a dense 0..n-1 rank per conversation
+        from collections import defaultdict
+
+        by_conv = defaultdict(list)
+        for r in rows:
+            by_conv[r["conv_id"]].append(r)
+        for conv_rows in by_conv.values():
+            ords = sorted(r["chunk_ord"] for r in conv_rows)
+            assert ords == list(range(len(conv_rows)))
+            assert all(r["n_chunks_of_conv"] == len(conv_rows)
+                       for r in conv_rows)
+        # no duplicate normalized turn texts survive extraction+dedup
+        extracted = collect_table(
+            quality_gate(dedup_turns_exact(
+                apply_extract(transcripts_dataset(
+                    n_convs=30, seed=9, max_turns=25))
+                .filter(expr="status == 'ok'"), num_partitions=8))
+        )
+        norm = [" ".join((t or "").lower().split())
+                for t in extracted.column("extracted_text").to_pylist()]
+        assert len(norm) == len(set(norm))
+        # token budgets hold for non-oversize chunks
+        multi = [r for r in rows if r["n_tokens"] <= 96]
+        assert multi

@@ -82,3 +82,45 @@ def test_fast_parser_parity_or_refusal(payload):
 def test_extract_payload_never_raises(text, tool):
     fmt, res = extract_payload(text, tool)
     assert res.status in ("ok", "empty", "parse_error", "unsupported")
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.binary(max_size=400),
+    st.sampled_from(["docx", "xlsx", "pptx", "hwpx", "jats", "uspto",
+                     "doc_json", ""]),
+)
+def test_binary_backends_never_raise(data, tool):
+    """Arbitrary bytes through every binary/XML backend: errors are
+    data (status column), never exceptions."""
+    import base64 as _b64
+
+    payload = _b64.b64encode(data).decode() if tool in (
+        "docx", "xlsx", "pptx", "hwpx", "") else \
+        data.decode("latin-1")
+    fmt, res = extract_payload(payload, tool)
+    assert res.status in ("ok", "empty", "parse_error", "unsupported")
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.text(max_size=300))
+def test_xml_backends_never_raise_on_text(text):
+    from doc_parser_ray.functions.jats_extract import extract_jats
+    from doc_parser_ray.functions.uspto_extract import extract_uspto
+
+    assert extract_jats(text).status in ("ok", "empty", "parse_error")
+    assert extract_uspto(text).status in ("ok", "empty", "parse_error")
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(min_size=0, max_size=600))
+def test_zip_backends_never_raise_on_corrupt_zip(data):
+    """Zip magic + garbage tail: must degrade to parse_error/empty."""
+    from doc_parser_ray.functions.docx_extract import extract_docx
+    from doc_parser_ray.functions.hwpx_extract import extract_hwpx
+    from doc_parser_ray.functions.pptx_extract import extract_pptx
+    from doc_parser_ray.functions.xlsx_extract import extract_xlsx
+
+    payload = b"PK\x03\x04" + data
+    for fn in (extract_docx, extract_xlsx, extract_pptx, extract_hwpx):
+        assert fn(payload).status in ("ok", "empty", "parse_error")
