@@ -180,17 +180,31 @@ def _md_table(text: str, escape_after: bool = False) -> str:
         except ValueError:
             return False
 
+    def _vis(cell: str) -> int:
+        # tabulate measures cells with wcswidth, which returns -1 for
+        # strings containing control characters (tabs): such cells
+        # contribute nothing to the column width and receive
+        # maxwidth+1 trailing spaces (csv-tab golden)
+        if any(ord(ch) < 32 for ch in cell):
+            return -1
+        return len(cell)
+
     widths, aligns = [], []
     for c in range(n_cols):
-        cell_w = max((len(r[c]) for r in body), default=0)
-        widths.append(max(cell_w, len(header[c]) + 2))
+        cell_w = max((_vis(r[c]) for r in body), default=0)
+        widths.append(max(cell_w, _vis(header[c]) + 2))
         aligns.append("r" if _numeric(c) else "l")
+
+    def _pad(cell: str, w: int, align: str) -> str:
+        fill = w - _vis(cell)
+        if fill <= 0:
+            return cell
+        return (" " * fill + cell) if align == "r" else (cell + " " * fill)
+
     out = []
     for i, r in enumerate(rows):
-        cells = [
-            (cell.rjust(w) if a == "r" else cell.ljust(w))
-            for cell, w, a in zip(r, widths, aligns)
-        ]
+        cells = [_pad(cell, w, a)
+                 for cell, w, a in zip(r, widths, aligns)]
         out.append("| " + " | ".join(cells) + " |")
         if i == 0:
             out.append("|" + "|".join("-" * (w + 2) for w in widths) + "|")

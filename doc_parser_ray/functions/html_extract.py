@@ -539,11 +539,18 @@ class _Extractor:
         grid = parse_table_grid(tag)
         if grid is None:
             return
+        # bs4 ``.text`` verbatim (docling passes it straight to
+        # tabulate): leading/trailing spaces are width-significant
+        # (wiki_duck's header keeps the space before a stripped icon
+        # span); only newlines fold so grid rows stay one line each
         rows_txt = []
         for row in grid:
-            rows_txt.append(" | ".join("" if c is None else " ".join(c.split()) for c in row))
-        text = "\n".join(rows_txt).strip()
-        self._emit(TABLE, text)
+            rows_txt.append(" | ".join(
+                "" if c is None else c.strip("\n").replace("\n", " ")
+                for c in row))
+        text = "\n".join(rows_txt)
+        if text.strip():
+            self._emit(TABLE, text)
         self._add_child(self.parents[self.level])
 
     def handle_figure(self, tag: _Node) -> None:

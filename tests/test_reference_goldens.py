@@ -2,11 +2,9 @@
 convert its HTML test fixtures and compare our markdown export to
 /root/reference/tests/data/groundtruth/docling_v2/*.html.md.
 
-8 of 10 fixtures (including the 245 KB wiki_duck page) must match
-BYTE-EXACTLY. The two exceptions differ only inside table blocks,
-where docling serializes through ``tabulate`` (numeric right-alignment
-and its column-width rules) which is not installed in this
-environment — those compare with whitespace-normalized table rows.
+ALL 10 html fixtures (including the 245 KB wiki_duck page) must match
+BYTE-EXACTLY — table cells render bs4-``.text``-verbatim so
+width-significant whitespace survives.
 """
 
 import os
@@ -23,9 +21,6 @@ EXACT = [
     "example_01", "example_02", "example_03", "example_04", "example_05",
     "example_06", "example_07", "example_08", "unit_test_01", "wiki_duck",
 ]
-# wiki_duck's one remaining table differs by a single column width (a
-# docling cell keeps a trailing space from a stripped hidden element)
-TABLE_NORMALIZED = ["wiki_duck"]
 
 # markdown fixtures (md → our extractor → markdown export vs the
 # reference's groundtruth). inline_and_formatting is EXCLUDED: it tests
@@ -37,12 +32,11 @@ MD_EXACT = [
     "nested", "wiki",
 ]
 
-# csv fixtures: all byte-exact except csv-tab, whose golden reflects a
-# tabulate column-width quirk for cells containing literal tabs —
-# compared with normalized table rows
+# csv fixtures: ALL byte-exact incl. csv-tab (tab-containing cells get
+# wcswidth=-1 in tabulate — replicated in _md_table)
 CSV_EXACT = [
     "csv-comma-in-cell", "csv-comma", "csv-inconsistent-header",
-    "csv-pipe", "csv-semicolon", "csv-too-few-columns",
+    "csv-pipe", "csv-semicolon", "csv-tab", "csv-too-few-columns",
     "csv-too-many-columns",
 ]
 
@@ -64,40 +58,10 @@ def _golden(name: str) -> str:
         return f.read().strip()
 
 
-def _norm_tables(s: str) -> str:
-    out = []
-    for line in s.split("\n"):
-        if line.startswith("|"):
-            cells = [c.strip() for c in line.strip("|").split("|")]
-            if all(set(c) <= {"-"} for c in cells):
-                out.append("|SEP|")
-            else:
-                out.append("|" + "|".join(cells) + "|")
-        else:
-            out.append(line)
-    return "\n".join(out)
-
-
 @requires_reference
-@pytest.mark.parametrize("name", [n for n in EXACT if n != "wiki_duck"])
+@pytest.mark.parametrize("name", EXACT)
 def test_exact_golden(name):
     assert _convert(name) == _golden(name)
-
-
-@requires_reference
-def test_wiki_duck_golden_exact_outside_tables():
-    """The full Wikipedia page must match byte-exactly outside table
-    blocks (one table differs in tabulate column widths only)."""
-    mine, golden = _convert("wiki_duck"), _golden("wiki_duck")
-    mine_nt = [ln for ln in mine.split("\n") if not ln.startswith("|")]
-    gold_nt = [ln for ln in golden.split("\n") if not ln.startswith("|")]
-    assert mine_nt == gold_nt
-
-
-@requires_reference
-@pytest.mark.parametrize("name", TABLE_NORMALIZED)
-def test_table_normalized_golden(name):
-    assert _norm_tables(_convert(name)) == _norm_tables(_golden(name))
 
 
 @requires_reference
@@ -114,16 +78,6 @@ def test_csv_fixture_golden(name):
     assert items_to_markdown(res.items).strip() == golden
 
 
-@requires_reference
-def test_csv_tab_normalized():
-    from doc_parser_ray.functions.csv_extract import extract_csv
-
-    with open("/root/reference/tests/data/csv/csv-tab.csv") as f:
-        src = f.read()
-    with open(f"{GOLDEN_DIR}/csv-tab.csv.md") as f:
-        golden = f.read().strip()
-    mine = items_to_markdown(extract_csv(src).items).strip()
-    assert _norm_tables(mine) == _norm_tables(golden)
 
 
 # docx fixtures: all byte-exact except equations.docx, whose golden
