@@ -134,9 +134,10 @@ def items_to_markdown(items) -> str:
         if it.label == _PICTURE:
             blocks.append("<!-- image -->")
         elif it.label == TITLE:
-            blocks.append(f"# {esc(it.text)}")
+            blocks.append(f"# {it.md_text if it.md_text else esc(it.text)}")
         elif it.label == SECTION_HEADER:
-            blocks.append("#" * (max(it.level, 1) + 1) + f" {esc(it.text)}")
+            body = it.md_text if it.md_text else esc(it.text)
+            blocks.append("#" * (max(it.level, 1) + 1) + f" {body}")
         elif it.label == CODE:
             blocks.append(f"```\n{it.text}\n```")
         elif it.label == FORMULA:

@@ -19,11 +19,12 @@ Semantics mirrored (cites into md_backend.py):
     round-trip;
   - images ``![alt](src)`` → PICTURE (no text), links keep their text.
 
-Deliberate deviation (documented): the reference emits one TEXT item per
-marko inline run, so ``a **b** c`` becomes three items; this engine emits
-one TEXT item per source line with inline markers (emphasis, code spans,
-links) resolved to their text — a strictly cleaner main-content
-extraction with identical text content.
+Inline formatting: the reference emits one TEXT item per marko inline
+run and its serializer re-joins them ("a **b**." → "a **b** ."); this
+engine emits ONE item per block whose ``text`` is the plain resolution
+(cleaner main-content extraction) and whose ``md_text`` carries the
+run-exact serialized rendering — byte-parity with the
+inline_and_formatting groundtruth through the export path.
 """
 
 from __future__ import annotations
@@ -58,8 +59,10 @@ _BARE_MARKER_RE = re.compile(r"[-*+]|\d+[.)]|#{1,6}")
 _CODE_SPAN_RE = re.compile(r"`([^`]*)`")
 _IMAGE_RE = re.compile(r"!\[([^\]]*)\]\(([^)]*)\)")
 _LINK_RE = re.compile(r"\[([^\]]*)\]\(([^)]*)\)")
-_BOLD_RE = re.compile(r"(\*\*|__)(.+?)\1")
-_EMPH_RE = re.compile(r"(\*|_)(.+?)\1")
+# underscore variants are blocked intraword (CommonMark: "_" cannot
+# open/close emphasis next to a word character — "to_escape" is plain)
+_BOLD_RE = re.compile(r"\*\*(?P<a>.+?)\*\*|(?<!\w)__(?P<b>.+?)__(?!\w)")
+_EMPH_RE = re.compile(r"\*(?P<a>.+?)\*|(?<!\w)_(?P<b>.+?)_(?!\w)")
 
 
 def _resolve_inline(text: str) -> str:
@@ -67,9 +70,75 @@ def _resolve_inline(text: str) -> str:
     text = _IMAGE_RE.sub(lambda m: m.group(1), text)
     text = _LINK_RE.sub(lambda m: m.group(1), text)
     text = _CODE_SPAN_RE.sub(lambda m: m.group(1), text)
-    text = _BOLD_RE.sub(lambda m: m.group(2), text)
-    text = _EMPH_RE.sub(lambda m: m.group(2), text)
+    text = _BOLD_RE.sub(lambda m: m.group("a") or m.group("b"), text)
+    text = _EMPH_RE.sub(lambda m: m.group("a") or m.group("b"), text)
     return text.strip()
+
+
+# ---- inline-run rendering (Item.md_text) -----------------------------
+# The reference emits one item per marko inline run and its serializer
+# re-joins stripped runs with single spaces ("a **b**." → "a **b** .").
+# We keep item.text as the plain resolution above and carry the
+# formatted rendering in md_text — same division of labor as the DOCX
+# backend.
+
+_TRIPLE_RE = re.compile(
+    r"\*\*\*(?P<a>.+?)\*\*\*|(?<!\w)___(?P<b>.+?)___(?!\w)")
+
+
+def _esc_inline(t: str) -> str:
+    return (t.replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;").replace("_", "\\_"))
+
+
+def _render_inline(text: str) -> str:
+    """Markdown source → docling-serializer rendering: runs stripped and
+    space-joined; code spans verbatim in backticks (unescaped), links
+    as [label](url), bold/italic markers normalized to asterisks."""
+    parts = [p.strip() for p in _split_runs(text)]
+    return " ".join(p for p in parts if p)
+
+
+def _split_runs(text: str) -> list[str]:
+    """Render each top-level inline run of ``text`` independently."""
+    out: list[str] = []
+    pos = 0
+    patterns = (
+        ("code", _CODE_SPAN_RE), ("image", _IMAGE_RE),
+        ("link", _LINK_RE), ("triple", _TRIPLE_RE),
+        ("bold", _BOLD_RE), ("emph", _EMPH_RE),
+    )
+    while pos < len(text):
+        best = None
+        best_kind = None
+        for kind, pat in patterns:
+            m = pat.search(text, pos)
+            if m and (best is None or m.start() < best.start()):
+                best, best_kind = m, kind
+        if best is None:
+            out.append(_esc_inline(text[pos:]))
+            break
+        if best.start() > pos:
+            out.append(_esc_inline(text[pos:best.start()]))
+        out.append(_render_run(best_kind, best))
+        pos = best.end()
+    return out
+
+
+def _render_run(kind: str, m: re.Match) -> str:
+    if kind == "code":
+        return f"`{m.group(1)}`"  # code spans render verbatim
+    if kind == "image":
+        return _esc_inline(m.group(1))
+    if kind == "link":
+        label = "".join(_split_runs(m.group(1)))
+        return f"[{label}]({m.group(2)})"
+    inner = "".join(_split_runs(m.group("a") or m.group("b")))
+    if kind == "triple":
+        return f"***{inner}***"
+    if kind == "bold":
+        return f"**{inner}**"
+    return f"*{inner}*"
 
 
 def _split_table_row(line: str) -> list[str]:
@@ -125,14 +194,16 @@ def extract_markdown(payload: str) -> ParseResult:
             if m:
                 level = len(m.group(1))
                 text = _resolve_inline(m.group(2))
+                md = _render_inline(m.group(2))
                 # empty headings are dropped (groundtruth blocks.md.md)
                 if text:
                     if level == 1:
-                        items.append(Item(label=TITLE, text=text, level=1))
+                        items.append(Item(label=TITLE, text=text, level=1,
+                                          md_text=md))
                     else:
                         items.append(
                             Item(label=SECTION_HEADER, text=text,
-                                 level=level - 1))
+                                 level=level - 1, md_text=md))
                 indent_stack.clear()
                 group_seq += 1
                 i += 1
@@ -211,6 +282,7 @@ def extract_markdown(payload: str) -> ParseResult:
                     # "- 2. strange": a leading ordered marker inside a
                     # bullet opens a NESTED enumerated list (marko
                     # behavior, groundtruth mixed_without_h1.md.md)
+                    md = _render_inline(m.group(3))
                     im = _OLIST_TEXT_RE.match(text) if text else None
                     if im:
                         depth += 1
@@ -219,15 +291,17 @@ def extract_markdown(payload: str) -> ParseResult:
                         ol_counter[(depth, group)] = 1
                         text = _resolve_inline(im.group(2))
                         marker = "1."
+                        md = ""  # restructured item: default esc path
                 else:
                     key = (depth, group)
                     ol_counter[key] = ol_counter.get(key, 0) + 1
                     text = _resolve_inline(om.group(3))
+                    md = _render_inline(om.group(3))
                     marker = f"{ol_counter[key]}."
                 if text:  # empty list items are dropped (blocks.md.md)
                     items.append(Item(label=LIST_ITEM, text=text,
                                       level=depth, marker=marker,
-                                      group=group))
+                                      group=group, md_text=md))
                 i += 1
                 continue
 
@@ -287,9 +361,11 @@ def extract_markdown(payload: str) -> ParseResult:
                     break
                 para.append(ns)
                 i += 1
-            text = _resolve_inline(" ".join(para))
+            raw_para = " ".join(para)
+            text = _resolve_inline(raw_para)
             if text:
-                items.append(Item(label=TEXT, text=text))
+                items.append(Item(label=TEXT, text=text,
+                                  md_text=_render_inline(raw_para)))
 
         # furniture/body split — applies ONLY when the document contains
         # an HTML block: the reference's md backend then round-trips the

@@ -22,14 +22,12 @@ EXACT = [
     "example_06", "example_07", "example_08", "unit_test_01", "wiki_duck",
 ]
 
-# markdown fixtures (md → our extractor → markdown export vs the
-# reference's groundtruth). inline_and_formatting is EXCLUDED: it tests
-# inline-formatting preservation (docling re-serializes *emphasis* /
-# `code` / [links](url)), which this engine deliberately resolves to
-# plain text (md_extract.py module docstring — main-content extraction)
+# markdown fixtures: ALL byte-exact incl. inline_and_formatting —
+# emphasis / code spans / links re-serialize through Item.md_text while
+# item.text keeps the plain main-content resolution
 MD_EXACT = [
-    "blocks", "duck", "ending_with_table", "mixed", "mixed_without_h1",
-    "nested", "wiki",
+    "blocks", "duck", "ending_with_table", "inline_and_formatting",
+    "mixed", "mixed_without_h1", "nested", "wiki",
 ]
 
 # csv fixtures: ALL byte-exact incl. csv-tab (tab-containing cells get
