@@ -34,13 +34,12 @@ Semantics reproduced (reference file:line cites):
     (":508-633");
   - pictures → placeholder items (no image bytes decoded) (":1125-1163").
 
-Documented deviations:
-  - OMML equations are emitted as plain concatenated math-run text, not
-    LaTeX (the reference converts via its vendored dwml ``oMath2Latex``;
-    equations.docx is therefore excluded from byte-parity goldens);
-  - ``dedup_lines=True`` applies the genos-variant adjacent-duplicate
-    suppression (genos_msword_backend.py:1225-1240, invariant tested by
-    genon/preprocessor/tests/unit/test_no_duplicate_lines_docx.py).
+OMML equations convert to LaTeX through the stdlib port in
+``functions/omml.py`` and follow the reference's standalone/inline
+assembly (":634-683", ":771-812") — equations.docx is byte-exact.
+``dedup_lines=True`` applies the genos-variant adjacent-duplicate
+suppression (genos_msword_backend.py:1225-1240, invariant tested by
+genon/preprocessor/tests/unit/test_no_duplicate_lines_docx.py).
 """
 
 from __future__ import annotations
@@ -52,6 +51,7 @@ from xml.etree import ElementTree as ET
 
 from doc_parser_ray.datamodel import (
     BODY,
+    FORMULA,
     LIST_ITEM,
     PICTURE,
     SECTION_HEADER,
@@ -248,10 +248,6 @@ def _run_text(r) -> str:
     return "".join(parts)
 
 
-def _math_text(el) -> str:
-    return "".join(t.text or "" for t in el.iter(_m("t")))
-
-
 class _Walker:
     """Stateful linear body walker (msword_backend state machine)."""
 
@@ -312,25 +308,23 @@ class _Walker:
     # ------------------------------------------------------- paragraphs
 
     def _iter_inner(self, p):
+        # python-docx parity: paragraph text covers runs + hyperlinks;
+        # math content is handled by the equations flow separately
         for child in p:
             tag = child.tag
             if tag == _w("r"):
                 yield ("run", child)
             elif tag == _w("hyperlink"):
                 yield ("hyperlink", child)
-            elif tag in (_m("oMath"), _m("oMathPara")):
-                yield ("math", child)
 
     def _para_text(self, p) -> str:
         parts: list[str] = []
         for kind, el in self._iter_inner(p):
             if kind == "run":
                 parts.append(_run_text(el))
-            elif kind == "hyperlink":
+            else:
                 parts.append("".join(_run_text(r)
                                      for r in el.iter(_w("r"))))
-            else:
-                parts.append(_math_text(el))
         return "".join(parts)
 
     def _para_elements(self, p):
@@ -349,14 +343,10 @@ class _Walker:
                 href = _pathify(self.rels.get(rid, "") if rid else "")
                 runs = list(el.iter(_w("r")))
                 fmt = _run_format(runs[0]) if runs else None
-            elif kind == "run":
+            else:
                 text = _run_text(el)
                 href = None
                 fmt = _run_format(el)
-            else:
-                text = _math_text(el)
-                href = None
-                fmt = None
             if (len(text.strip()) and fmt != prev_fmt) or href is not None:
                 if len(group_text.strip()) > 0:
                     elements.append((group_text.strip(), prev_fmt, None))
@@ -409,7 +399,9 @@ class _Walker:
     def handle_text(self, p) -> None:
         """msword_backend.py:697-860 (_handle_text_elements)."""
         elements = self._para_elements(p)
-        text = self._para_text(p).strip()
+        para_text = self._para_text(p)
+        text, equations = self._equations_in_text(p, para_text)
+        text = text.strip()
         raw_style = self._style_id(p)
         p_style_id, p_level = self.styles.label_and_level(raw_style)
         numid, ilevel = self._numid_ilvl(p)
@@ -446,6 +438,15 @@ class _Walker:
                 or p.find(f".//{_w('numPr')}") is not None
             )
             self._add_header(p_level, text, is_numbered_style)
+        elif equations:
+            # msword_backend.py:771-812: standalone vs inline equations
+            if not para_text.strip() and text:
+                self._emit(Item(
+                    label=FORMULA,
+                    text=text.replace("<eq>", "").replace("</eq>", ""),
+                ))
+            else:
+                self._emit_inline_equations(text, equations)
         else:
             # Normal/Subtitle/Author/... and every unknown style: plain
             # paragraph items (":816-852")
@@ -460,6 +461,78 @@ class _Walker:
         text = " ".join(texts)
         md = " ".join(self._el_md(t, f, h) for t, f, h in elements if t)
         self._emit(Item(label=TEXT, text=text, md_text=md))
+
+    def _equations_in_text(self, p, text: str):
+        """msword_backend.py:634-683 (_handle_equations_in_text): OMML
+        equations converted to LaTeX, bookended with <eq>..</eq> and
+        inserted into the raw paragraph text, preserving whitespace;
+        bail out (no equations) when the text cannot be reconstructed
+        from the w:t pieces."""
+        from doc_parser_ray.functions.omml import omml_to_latex
+
+        only_texts: list[str] = []
+        texts_and_equations: list[str] = []
+        only_equations: list[str] = []
+        for subt in p.iter():
+            tag = subt.tag if isinstance(subt.tag, str) else ""
+            if tag == _w("t"):
+                if isinstance(subt.text, str):
+                    only_texts.append(subt.text)
+                    texts_and_equations.append(subt.text)
+            elif tag == _m("oMath"):
+                latex = omml_to_latex(subt).strip()
+                if latex:
+                    only_equations.append(f"<eq>{latex}</eq>")
+                    texts_and_equations.append(f"<eq>{latex}</eq>")
+        if not only_equations:
+            return text, []
+        if (re.sub(r"\s+", "", "".join(only_texts)).strip()
+                != re.sub(r"\s+", "", text).strip()):
+            return text, []
+        output_text = text[:]
+        init_i = 0
+        for i_s, substr in enumerate(texts_and_equations):
+            if len(substr) == 0:
+                continue
+            if substr in output_text[init_i:]:
+                init_i += output_text[init_i:].find(substr) + len(substr)
+            else:
+                if i_s > 0:
+                    output_text = (output_text[:init_i] + substr
+                                   + output_text[init_i:])
+                    init_i += len(substr)
+                else:
+                    output_text = substr + output_text
+        return output_text, only_equations
+
+    def _emit_inline_equations(self, text: str, equations: list[str]):
+        """Inline-equation paragraph (msword_backend.py:782-812): pre
+        text parts keep their trailing whitespace (the serializer's
+        space-join yields the reference's double spaces before '$'),
+        formulas render as $..$, the tail is stripped."""
+        md_parts: list[str] = []
+        plain_parts: list[str] = []
+        text_tmp = text
+        for eq in equations:
+            if len(text_tmp) == 0:
+                break
+            seg = text_tmp.split(eq.strip(), 1)
+            pre = seg[0]
+            text_tmp = "" if len(seg) == 1 else seg[1]
+            if len(pre) > 0:
+                md_parts.append(_esc_md(pre))
+                plain_parts.append(pre)
+            inner = eq.strip()
+            inner = inner[4:-5] if inner.startswith("<eq>") else inner
+            md_parts.append(f"${inner}$")
+            plain_parts.append(inner)
+        if len(text_tmp) > 0:
+            md_parts.append(_esc_md(text_tmp.strip()))
+            plain_parts.append(text_tmp.strip())
+        plain = "".join(plain_parts).strip()
+        if plain:
+            self._emit(Item(label=TEXT, text=plain,
+                            md_text=" ".join(md_parts)))
 
     def _add_header(self, curr_level, text: str,
                     is_numbered_style: bool) -> None:

@@ -78,12 +78,10 @@ def test_csv_fixture_golden(name):
 
 
 
-# docx fixtures: all byte-exact except equations.docx, whose golden
-# contains the reference's vendored OMML→LaTeX conversion — this engine
-# extracts equations as plain math-run text (documented deviation,
-# docx_extract.py module docstring)
+# docx fixtures: ALL 12 byte-exact — incl. equations.docx via the
+# stdlib OMML→LaTeX port (functions/omml.py)
 DOCX_EXACT = [
-    "lorem_ipsum", "tablecell", "test_emf_docx", "textbox",
+    "equations", "lorem_ipsum", "tablecell", "test_emf_docx", "textbox",
     "unit_test_formatting", "unit_test_headers",
     "unit_test_headers_numbered", "unit_test_lists",
     "word_image_anchors", "word_sample", "word_tables",
@@ -201,21 +199,6 @@ def test_uspto_goldenless_fixtures_parse(name):
         res = extract_uspto(f.read())
     assert res.status == "ok"
     assert len(res.items) > 5
-
-
-@requires_reference
-def test_docx_equations_plain_text_deviation():
-    """equations.docx: math content must still be extracted (as plain
-    math-run text), only the LaTeX rendering deviates."""
-    from doc_parser_ray.functions.docx_extract import extract_docx
-
-    with open("/root/reference/tests/data/docx/equations.docx", "rb") as f:
-        res = extract_docx(f.read())
-    assert res.status == "ok"
-    text = "\n".join(i.text for i in res.items)
-    assert "inline equation" in text
-    # the equation's symbols surface (plain, not LaTeX)
-    assert "π" in text or "pi" in text.lower()
 
 
 @requires_reference
