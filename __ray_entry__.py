@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_tokens": T.text_tokens,
         "text_quality": T.text_quality,
         "lang_id": T.lang_id,
+        "html_boilerplate": T.html_boilerplate,
         "doc_fingerprints": T.doc_fingerprints,
         # similarity search
         "knn_cosine": T.knn_documents,

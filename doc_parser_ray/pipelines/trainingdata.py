@@ -309,6 +309,48 @@ def conv_confidence(sf_dir: str) -> pa.Table:
     return tab.sort_by([("conv_id", "ascending")])
 
 
+def html_boilerplate(sf_dir: str) -> pa.Table:
+    """Text-density / link-ratio boilerplate metrics per HTML payload
+    (Boilerpipe-style shallow text features over the same DOM the
+    extractor walks). Each document is wrapped in a nav-heavy page so
+    the link-density signal is non-trivial. Deterministic; rows-only
+    check (densities are DOM computations with no SQL analog)."""
+    import math
+
+    from doc_parser_ray.functions.boilerplate import boilerplate_stats
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        rows = []
+        for i, t in zip(ids, texts):
+            t = (t or "").strip()
+            nav = "".join(f'<li><a href="/p{k}">nav {k}</a></li>'
+                          for k in range(i % 7))
+            html = (f"<html><body><nav><ul>{nav}</ul></nav>"
+                    f"<p>{t}</p></body></html>")
+            rows.append(boilerplate_stats(html))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text_chars": pa.array([r["text_chars"] for r in rows],
+                                   pa.int64()),
+            "link_chars": pa.array([r["link_chars"] for r in rows],
+                                   pa.int64()),
+            "anchor_count": pa.array([r["anchor_count"] for r in rows],
+                                     pa.int64()),
+            "link_density_e4": pa.array(
+                [math.floor(r["link_density"] * 10000) for r in rows],
+                pa.int64()),
+            "text_density_e4": pa.array(
+                [math.floor(r["text_density"] * 10000) for r in rows],
+                pa.int64()),
+        })
+
+    out = _docs(sf_dir).map_batches(score, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    return _collect(out).sort_by([("doc_id", "ascending")])
+
+
 # --------------------------------------------------------- similarity
 
 

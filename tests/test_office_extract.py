@@ -154,3 +154,33 @@ class TestDispatcher:
         b64 = base64.b64encode(buf.getvalue()).decode()
         fmt, res = extract_payload(b64, "")
         assert res.status == "parse_error"
+
+
+class TestBoilerplateStats:
+    def test_link_density_signals(self):
+        from doc_parser_ray.functions.boilerplate import boilerplate_stats
+
+        prose = boilerplate_stats(
+            "<html><body><p>plain prose with many words here</p>"
+            "</body></html>")
+        navpage = boilerplate_stats(
+            "<html><body><nav><a href='/a'>Home</a><a href='/b'>About"
+            "</a></nav><p>x</p></body></html>")
+        assert prose["link_density"] == 0.0
+        assert navpage["link_density"] > 0.5
+        assert navpage["anchor_count"] == 2
+        assert prose["text_density"] > 0
+
+    def test_scripts_do_not_count(self):
+        from doc_parser_ray.functions.boilerplate import boilerplate_stats
+
+        s = boilerplate_stats(
+            "<html><body><script>var a='xxxxxxxx';</script>"
+            "<p>ab</p></body></html>")
+        assert s["text_chars"] == 2
+
+    def test_garbage_safe(self):
+        from doc_parser_ray.functions.boilerplate import boilerplate_stats
+
+        assert boilerplate_stats("")["text_chars"] == 0
+        assert boilerplate_stats("a < b > c")["text_chars"] >= 0
