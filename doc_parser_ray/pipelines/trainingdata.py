@@ -524,14 +524,28 @@ def media_pipeline(sf_dir: str, n: int = 150) -> pa.Table:
     ds = media_dataset(n)
     images = ds.filter(expr="kind == 'image'")
     videos = ds.filter(expr="kind == 'video'")
-    img_feats = media_features(resize_images(images, 32, 32))
+    # five concurrent actor pools share one execution below: fractional
+    # num_cpus so pool actors can't starve the producing tasks on small
+    # hosts (5 pools x 1 full CPU would deadlock a 4-cpu session)
+    img_feats = media_features(resize_images(images, 32, 32,
+                                             num_cpus=0.5),
+                               num_cpus=0.5)
     frame_feats = media_features(
-        resize_images(sample_frames(videos, every_k=4), 16, 16)
+        resize_images(sample_frames(videos, every_k=4, num_cpus=0.5),
+                      16, 16, num_cpus=0.5),
+        num_cpus=0.5,
     )
-    tabs = [_collect(img_feats.select_columns(["media_id", "features"])),
-            _collect(frame_feats.select_columns(["media_id", "features"]))]
-    tabs = [t for t in tabs if t.num_rows]
-    merged = pa.concat_tables(tabs)
+    # ONE execution for both branches (union) — their actor pools start
+    # concurrently instead of paying two sequential chains of pool
+    # startup latency
+    merged = _collect(
+        img_feats.select_columns(["media_id", "features"]).union(
+            frame_feats.select_columns(["media_id", "features"])
+        )
+    )
+    if merged.num_rows == 0:
+        merged = pa.table({"media_id": pa.array([], pa.int64()),
+                           "features": pa.array([], pa.list_(pa.int64()))})
     # summarize: feature argmax bin + count per media row
     feats = merged.column("features").to_pylist()
     import numpy as np

@@ -196,29 +196,34 @@ class FrameSample:
         )
 
 
-def decode_media(ds, *, batch_size: int = 32, concurrency=(1, 8)):
+def decode_media(ds, *, batch_size: int = 32, concurrency=(1, 8),
+                 num_cpus: float | None = None):
     return ds.map_batches(MediaDecode, batch_size=batch_size,
                           batch_format="pyarrow", concurrency=concurrency,
-                          zero_copy_batch=True)
+                          zero_copy_batch=True,
+                          **({"num_cpus": num_cpus} if num_cpus else {}))
 
 
 def media_features(ds, *, n_bins: int = 16, batch_size: int = 32,
-                   concurrency=(1, 8)):
+                   concurrency=(1, 8), num_cpus: float | None = None):
     return ds.map_batches(MediaFeatures, fn_constructor_args=(n_bins,),
                           batch_size=batch_size, batch_format="pyarrow",
-                          concurrency=concurrency, zero_copy_batch=True)
+                          concurrency=concurrency, zero_copy_batch=True,
+                          **({"num_cpus": num_cpus} if num_cpus else {}))
 
 
 def resize_images(ds, target_w: int, target_h: int, *, batch_size: int = 32,
-                  concurrency=(1, 8)):
+                  concurrency=(1, 8), num_cpus: float | None = None):
     return ds.map_batches(ImageResize,
                           fn_constructor_args=(target_w, target_h),
                           batch_size=batch_size, batch_format="pyarrow",
-                          concurrency=concurrency, zero_copy_batch=True)
+                          concurrency=concurrency, zero_copy_batch=True,
+                          **({"num_cpus": num_cpus} if num_cpus else {}))
 
 
 def sample_frames(ds, every_k: int = 4, *, batch_size: int = 16,
-                  concurrency=(1, 8)):
+                  concurrency=(1, 8), num_cpus: float | None = None):
     return ds.map_batches(FrameSample, fn_constructor_args=(every_k,),
                           batch_size=batch_size, batch_format="pyarrow",
-                          concurrency=concurrency, zero_copy_batch=True)
+                          concurrency=concurrency, zero_copy_batch=True,
+                          **({"num_cpus": num_cpus} if num_cpus else {}))
