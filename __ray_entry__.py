@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_distinct_segments": R.q_distinct_segments,
         "q_sessionize": R.q_sessionize,
         "q_asof_join": R.q_asof_join,
+        "q_interval_join": R.q_interval_join,
         # extraction (P1/P2/P5 + PDF path, SQL-verified round-trip)
         "extract_roundtrip": T.extract_roundtrip,
         "extract_transcripts": _q_extract_transcripts,
@@ -274,6 +275,15 @@ def oracle_sql() -> dict[str, str]:
         "doc_json_roundtrip": """
             SELECT doc_id, TRIM(text) AS extracted_text
             FROM documents ORDER BY doc_id
+        """,
+        "q_interval_join": """
+            SELECT a.o_orderkey, a.o_custkey,
+                   b.o_orderkey AS prior_orderkey
+            FROM orders a JOIN orders b
+              ON a.o_custkey = b.o_custkey
+             AND a.o_orderdate >= b.o_orderdate
+             AND a.o_orderdate < b.o_orderdate + INTERVAL 90 DAY
+            ORDER BY a.o_orderkey, prior_orderkey
         """,
         "dedup_exact": r"""
             SELECT MIN(doc_id) AS doc_id

@@ -307,6 +307,41 @@ def q_asof_join(sf_dir: str, broadcast_budget_rows: int = 2_000_000) -> pa.Table
     return tab.sort_by([("event_id", "ascending")])
 
 
+def q_interval_join(sf_dir: str, window_days: int = 90) -> pa.Table:
+    """Range (interval) join via the custom operator (stages/joins.py):
+    every order matched to EVERY order of the same customer whose
+    ``window_days`` window (starting at that order's date) contains it
+    — "orders placed within 90 days of another order by the same
+    customer", incl. the self-match. Multi-interval containment against
+    a SQL BETWEEN-join oracle."""
+    from doc_parser_ray.stages.joins import interval_join
+
+    orders = collect_table(
+        _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate"])
+    )
+    start = orders.column("o_orderdate").cast(pa.int64()).combine_chunks()
+    end = pc.add(start, pa.scalar(window_days * 86_400_000_000, pa.int64()))
+    right = pa.table({
+        "o_custkey": orders.column("o_custkey"),
+        "start_us": start,
+        "end_us": end,
+        "prior_orderkey": orders.column("o_orderkey"),
+    })
+    left = _read(sf_dir, "orders",
+                 ["o_orderkey", "o_custkey", "o_orderdate"])
+    out = interval_join(
+        left, right, left_key="o_custkey", left_ts="o_orderdate",
+        right_key="o_custkey", start_col="start_us", end_col="end_us",
+        right_val="prior_orderkey",
+    )
+    tab = collect_table(out).select(
+        ["o_orderkey", "o_custkey", "prior_orderkey"]
+    )
+    return tab.sort_by(
+        [("o_orderkey", "ascending"), ("prior_orderkey", "ascending")]
+    )
+
+
 def q_distinct_segments(sf_dir: str) -> pa.Table:
     """Distinct via groupby-count, sorted."""
     out = (

@@ -71,6 +71,82 @@ def broadcast_join(ds, small: pa.Table, *, left_key: str, right_key: str,
     return ds.map_batches(join_batch, batch_format="pyarrow", **kwargs)
 
 
+# ------------------------------------------------------------ range
+
+
+def interval_join(left_ds, right, *, left_key: str, left_ts: str,
+                  right_key: str, start_col: str, end_col: str,
+                  right_val: str):
+    """Range (interval) join: every left row matched to EVERY right
+    interval of the same key with ``start ≤ ts < end``.
+
+    The right side is broadcast as per-key sorted interval arrays
+    (``ray.put`` once); each batch groups its rows by key and evaluates
+    the start/end containment as one vectorized (rows × intervals)
+    mask per key. Partitioning assumption (documented per SURVEY §7
+    custom-operator rule): intervals per key are bounded (dimension-
+    scale); a corpus-scale right side would use the same
+    repartition-by-key merge as ``asof_join``.
+
+    Returns a Dataset with the left columns plus ``right_val``
+    (one output row per match; unmatched left rows drop).
+    """
+    from doc_parser_ray.util import collect_table
+
+    right_tab = right if isinstance(right, pa.Table) else collect_table(right)
+    right_tab = right_tab.select(
+        [right_key, start_col, end_col, right_val]
+    ).sort_by([(right_key, "ascending"), (start_col, "ascending"),
+               (right_val, "ascending")])
+    rk = right_tab.column(right_key).to_numpy(zero_copy_only=False)
+    rs = right_tab.column(start_col).cast(pa.int64()).to_numpy(
+        zero_copy_only=False)
+    re_ = right_tab.column(end_col).cast(pa.int64()).to_numpy(
+        zero_copy_only=False)
+    rv = right_tab.column(right_val).to_numpy(zero_copy_only=False)
+    ref = ray.put((rk, rs, re_, rv))
+
+    def join_batch(batch: pa.Table) -> pa.Table:
+        rk_, rs_, re2, rv_ = _worker_object(ref)
+        keys = batch.column(left_key).to_numpy(zero_copy_only=False)
+        ts = batch.column(left_ts).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        n = len(keys)
+        take_idx: list[np.ndarray] = []
+        vals: list[np.ndarray] = []
+        order = np.argsort(keys, kind="stable")
+        i = 0
+        while i < n:
+            j = i
+            u = keys[order[i]]
+            while j < n and keys[order[j]] == u:
+                j += 1
+            rows = order[i:j]
+            s = np.searchsorted(rk_, u, side="left")
+            e = np.searchsorted(rk_, u, side="right")
+            if e > s:
+                starts = rs_[s:e]
+                ends = re2[s:e]
+                hit = ((starts[None, :] <= ts[rows, None])
+                       & (ts[rows, None] < ends[None, :]))
+                li, ri = np.nonzero(hit)
+                if len(li):
+                    take_idx.append(rows[li])
+                    vals.append(rv_[s + ri])
+            i = j
+        if not take_idx:
+            out = batch.slice(0, 0)
+            return out.append_column(
+                right_val, pa.array([], right_tab.schema.field(right_val).type)
+            )
+        idx = np.concatenate(take_idx)
+        out = batch.take(pa.array(idx))
+        return out.append_column(right_val, pa.array(np.concatenate(vals)))
+
+    return left_ds.map_batches(join_batch, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+
 # ------------------------------------------------------------- as-of
 
 

@@ -120,3 +120,50 @@ class TestAsofJoin:
             left_ts="ts", right_ts="o_orderdate", right_val="o_orderkey",
         )
         assert collect_table(out).to_pylist()[0]["o_orderkey"] == 9
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestIntervalJoin:
+    def test_multi_match_containment(self):
+        from doc_parser_ray.stages.joins import interval_join
+
+        left = pa.table({
+            "id": pa.array([0, 1, 2, 3], pa.int64()),
+            "k": pa.array([1, 1, 1, 2], pa.int64()),
+            "ts": pa.array([5, 15, 25, 5], pa.int64()),
+        })
+        right = pa.table({
+            "k": pa.array([1, 1, 2], pa.int64()),
+            "s": pa.array([0, 10, 100], pa.int64()),
+            "e": pa.array([20, 30, 200], pa.int64()),
+            "v": pa.array([100, 200, 300], pa.int64()),
+        })
+        out = collect_table(interval_join(
+            ray.data.from_arrow(left), right,
+            left_key="k", left_ts="ts", right_key="k",
+            start_col="s", end_col="e", right_val="v",
+        ))
+        got = sorted((r["id"], r["v"]) for r in out.to_pylist())
+        # ts=5 → [0,20) only; ts=15 → both; ts=25 → [10,30) only;
+        # k=2 ts=5 → no interval
+        assert got == [(0, 100), (1, 100), (1, 200), (2, 200)]
+
+    def test_boundaries_half_open(self):
+        from doc_parser_ray.stages.joins import interval_join
+
+        left = pa.table({
+            "k": pa.array([1, 1], pa.int64()),
+            "ts": pa.array([0, 10], pa.int64()),
+        })
+        right = pa.table({
+            "k": pa.array([1], pa.int64()),
+            "s": pa.array([0], pa.int64()),
+            "e": pa.array([10], pa.int64()),
+            "v": pa.array([7], pa.int64()),
+        })
+        out = collect_table(interval_join(
+            ray.data.from_arrow(left), right,
+            left_key="k", left_ts="ts", right_key="k",
+            start_col="s", end_col="e", right_val="v",
+        ))
+        assert [r["ts"] for r in out.to_pylist()] == [0]  # end exclusive
