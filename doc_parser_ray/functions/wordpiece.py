@@ -53,7 +53,8 @@ class DeterministicWordPiece:
 
     _WORD_RE = re.compile(r"[^\W_]+|[^\w\s]", re.UNICODE)
 
-    def __init__(self, max_piece_len: int = 8):
+    def __init__(self, max_piece_len: int = 8,
+                 cache_size: int = 200_000):
         self.max_piece_len = max_piece_len
         # trie as nested dicts; True marker = piece boundary
         self._trie: dict = {}
@@ -62,6 +63,11 @@ class DeterministicWordPiece:
             for ch in piece:
                 node = node.setdefault(ch, {})
             node["\0"] = True
+        # per-word piece-count memo: natural-language word frequency is
+        # Zipf-distributed, so the hot words dominate — bounded so actor
+        # heap stays predictable
+        self._count_cache: dict[str, int] = {}
+        self._cache_size = cache_size
 
     def _longest_piece(self, word: str, start: int) -> int:
         """Length of the longest vocab piece at ``start`` (≥1; single
@@ -96,14 +102,23 @@ class DeterministicWordPiece:
             out.extend(self.tokenize_word(m.group(0)))
         return out
 
+    def _count_word(self, w: str) -> int:
+        cached = self._count_cache.get(w)
+        if cached is not None:
+            return cached
+        n = 0
+        i = 0
+        while i < len(w):
+            i += self._longest_piece(w, i)
+            n += 1
+        if len(self._count_cache) < self._cache_size:
+            self._count_cache[w] = n
+        return n
+
     def count(self, text: str) -> int:
         n = 0
         for m in self._WORD_RE.finditer(text):
-            w = m.group(0).lower()
-            i = 0
-            while i < len(w):
-                i += self._longest_piece(w, i)
-                n += 1
+            n += self._count_word(m.group(0).lower())
         return n
 
     def count_tokens_hf(self, text: str | None,

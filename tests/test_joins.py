@@ -167,3 +167,34 @@ class TestIntervalJoin:
             start_col="s", end_col="e", right_val="v",
         ))
         assert [r["ts"] for r in out.to_pylist()] == [0]  # end exclusive
+
+    def test_matches_bruteforce_on_random_data(self):
+        from doc_parser_ray.stages.joins import interval_join
+
+        rng = np.random.RandomState(11)
+        n_left, n_right = 400, 120
+        left = pa.table({
+            "id": pa.array(range(n_left), pa.int64()),
+            "k": pa.array(rng.randint(0, 15, n_left), pa.int64()),
+            "ts": pa.array(rng.randint(0, 1000, n_left), pa.int64()),
+        })
+        starts = rng.randint(0, 1000, n_right)
+        right = pa.table({
+            "k": pa.array(rng.randint(0, 18, n_right), pa.int64()),
+            "s": pa.array(starts, pa.int64()),
+            "e": pa.array(starts + rng.randint(1, 300, n_right),
+                          pa.int64()),
+            "v": pa.array(range(n_right), pa.int64()),
+        })
+        out = collect_table(interval_join(
+            ray.data.from_arrow(left), right,
+            left_key="k", left_ts="ts", right_key="k",
+            start_col="s", end_col="e", right_val="v",
+        ))
+        got = sorted((r["id"], r["v"]) for r in out.to_pylist())
+        want = sorted(
+            (lr["id"], rr["v"])
+            for lr in left.to_pylist() for rr in right.to_pylist()
+            if lr["k"] == rr["k"] and rr["s"] <= lr["ts"] < rr["e"]
+        )
+        assert got == want
