@@ -111,6 +111,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sessionize": R.q_sessionize,
         "q_asof_join": R.q_asof_join,
         "q_interval_join": R.q_interval_join,
+        "q_value_percentiles": R.q_value_percentiles,
+        "q_sliding_window": R.q_sliding_window,
         # extraction (P1/P2/P5 + PDF path, SQL-verified round-trip)
         "extract_roundtrip": T.extract_roundtrip,
         "extract_transcripts": _q_extract_transcripts,
@@ -275,6 +277,35 @@ def oracle_sql() -> dict[str, str]:
         "doc_json_roundtrip": """
             SELECT doc_id, TRIM(text) AS extracted_text
             FROM documents ORDER BY doc_id
+        """,
+        "q_sliding_window": """
+            SELECT o_orderkey,
+                   CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5)
+                                 AS BIGINT)) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate
+                       RANGE BETWEEN INTERVAL 7 DAY PRECEDING
+                                 AND CURRENT ROW
+                   ) AS BIGINT) AS sum7_c
+            FROM orders ORDER BY o_orderkey
+        """,
+        "q_value_percentiles": """
+            WITH h AS (
+                SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c
+                FROM events
+            ), ranked AS (
+                SELECT value_c,
+                       ROW_NUMBER() OVER (ORDER BY value_c) AS rn,
+                       COUNT(*) OVER () AS n
+                FROM h
+            )
+            SELECT pct, MIN(value_c) AS value_c FROM (
+                SELECT 50 AS pct, value_c FROM ranked
+                 WHERE rn >= CEIL(0.5 * n)
+                UNION ALL
+                SELECT 90, value_c FROM ranked WHERE rn >= CEIL(0.9 * n)
+                UNION ALL
+                SELECT 99, value_c FROM ranked WHERE rn >= CEIL(0.99 * n)
+            ) GROUP BY pct ORDER BY pct
         """,
         "q_interval_join": """
             SELECT a.o_orderkey, a.o_custkey,

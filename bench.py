@@ -111,6 +111,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     names = [
         "q1_pricing_summary", "q3_top_orders", "q_orders_monthly",
         "q_part_brand_topk", "q_sessionize", "q_asof_join", "q_interval_join",
+        "q_sliding_window", "q_value_percentiles",
         "extract_roundtrip", "dedup_exact", "dedup_minhash",
         "dedup_simhash", "dedup_ngram",
         "text_quality", "knn_cosine", "media_decode", "media_pipeline",

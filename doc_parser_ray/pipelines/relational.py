@@ -307,6 +307,106 @@ def q_asof_join(sf_dir: str, broadcast_budget_rows: int = 2_000_000) -> pa.Table
     return tab.sort_by([("event_id", "ascending")])
 
 
+def q_sliding_window(sf_dir: str, window_days: int = 7) -> pa.Table:
+    """Sliding (RANGE) window aggregate: each order's trailing
+    ``window_days`` sum of the same customer's order totals. The
+    bounded conv-style exchange co-locates each customer's orders; the
+    in-partition computation is one sort + per-key prefix sums with a
+    vectorized searchsorted for the window start — no per-row Python.
+    Oracle: SUM OVER (PARTITION BY ... ORDER BY ... RANGE BETWEEN
+    INTERVAL PRECEDING AND CURRENT ROW)."""
+    import numpy as np
+
+    num_partitions = 16
+    win_us = window_days * 86_400_000_000
+
+    ds = _read(sf_dir, "orders",
+               ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_custkey": batch.column("o_custkey"),
+            "o_orderkey": batch.column("o_orderkey"),
+            "date_us": batch.column("o_orderdate").cast(pa.int64()),
+            "price_c": cents(batch.column("o_totalprice")),
+            "pkey": pa.array((ck % num_partitions).astype("int32")),
+        })
+
+    def window_part(part: pa.Table) -> pa.Table:
+        part = part.sort_by([
+            ("o_custkey", "ascending"), ("date_us", "ascending"),
+            ("o_orderkey", "ascending"),
+        ])
+        n = part.num_rows
+        if n == 0:
+            return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                             "sum7_c": pa.array([], pa.int64())})
+        ck = part.column("o_custkey").to_numpy(zero_copy_only=False)
+        dates = part.column("date_us").to_numpy(zero_copy_only=False)
+        price = part.column("price_c").to_numpy(zero_copy_only=False)
+        out = np.empty(n, dtype=np.int64)
+        change = np.ones(n, dtype=bool)
+        change[1:] = ck[1:] != ck[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], n)
+        for a, b in zip(starts, ends):
+            d = dates[a:b]
+            cum = np.cumsum(price[a:b])
+            lo = np.searchsorted(d, d - win_us, side="left")
+            # RANGE frame: same-date peers AFTER the current row are in
+            # the frame too — upper bound is the end of the tie group
+            hi = np.searchsorted(d, d, side="right")
+            out[a:b] = cum[hi - 1] - np.where(lo > 0, cum[lo - 1], 0)
+        return pa.table({
+            "o_orderkey": part.column("o_orderkey"),
+            "sum7_c": pa.array(out, pa.int64()),
+        })
+
+    keyed = ds.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+    out = keyed.groupby("pkey").map_groups(window_part,
+                                           batch_format="pyarrow")
+    return collect_table(out).sort_by([("o_orderkey", "ascending")])
+
+
+def q_value_percentiles(sf_dir: str) -> pa.Table:
+    """EXACT distributed percentiles without a global sort: event values
+    are fixed-point cents (bounded cardinality), so a groupby(value)
+    count — map-side combined — plus a driver-side cumulative sum over
+    the tiny histogram yields exact order statistics. The scale shape
+    for quantiles over discretized metrics: the shuffle moves one row
+    per DISTINCT value, never the corpus. Oracle: the same index rule
+    (smallest value whose cumulative count reaches ceil(q*n)) in SQL."""
+    import numpy as np
+
+    ev = _read(sf_dir, "events", ["value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"value_c": cents(batch.column("value"))})
+
+    hist = collect_table(
+        ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("value_c").count()
+    )
+    vals = hist.column("value_c").to_numpy(zero_copy_only=False)
+    counts = hist.column("count()").to_numpy(zero_copy_only=False)
+    order = np.argsort(vals)
+    vals, counts = vals[order], counts[order]
+    cum = np.cumsum(counts)
+    n = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for q in (0.5, 0.9, 0.99):
+        rank = int(np.ceil(q * n))
+        idx = int(np.searchsorted(cum, rank))
+        out_q.append(int(q * 100))
+        out_v.append(int(vals[idx]))
+    return pa.table({
+        "pct": pa.array(out_q, pa.int64()),
+        "value_c": pa.array(out_v, pa.int64()),
+    })
+
+
 def q_interval_join(sf_dir: str, window_days: int = 90) -> pa.Table:
     """Range (interval) join via the custom operator (stages/joins.py):
     every order matched to EVERY order of the same customer whose
