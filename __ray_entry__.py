@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": T.text_quality,
         "lang_id": T.lang_id,
         "html_boilerplate": T.html_boilerplate,
+        "approx_distinct_users": T.approx_distinct_users,
         "doc_fingerprints": T.doc_fingerprints,
         # similarity search
         "knn_cosine": T.knn_documents,

@@ -351,6 +351,20 @@ def html_boilerplate(sf_dir: str) -> pa.Table:
     return _collect(out).sort_by([("doc_id", "ascending")])
 
 
+def approx_distinct_users(sf_dir: str) -> pa.Table:
+    """HyperLogLog approximate distinct users per event type — the
+    distributed-sketch shape: per-block register states, keyed merge of
+    (key, 2^p bytes) rows only, nothing else shuffles. Approximate →
+    rows-only check; error bounds and lossless merge are unit-tested
+    (tests/test_sketch.py)."""
+    from doc_parser_ray.stages.sketch import approx_distinct_by
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "user_id"])
+    tab = _collect(approx_distinct_by(ds, "event_type", "user_id"))
+    return tab.sort_by([("event_type", "ascending")])
+
+
 # --------------------------------------------------------- similarity
 
 
