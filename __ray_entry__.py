@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": T.lang_id,
         "html_boilerplate": T.html_boilerplate,
         "approx_distinct_users": T.approx_distinct_users,
+        "pdf_chunk_provenance": T.pdf_chunk_provenance,
         "doc_fingerprints": T.doc_fingerprints,
         # similarity search
         "knn_cosine": T.knn_documents,

@@ -365,6 +365,41 @@ def approx_distinct_users(sf_dir: str) -> pa.Table:
     return tab.sort_by([("event_type", "ascending")])
 
 
+def pdf_chunk_provenance(sf_dir: str) -> pa.Table:
+    """C6 pdf bbox back-match end-to-end: wrap each document text into a
+    PDF, extract, and back-match each extracted block's rectangles in
+    page units (merged with the reference's overlap-tolerance rule).
+    Deterministic; rows-only (geometry has no SQL analog) — the merge
+    and containment semantics are unit-tested."""
+    import json as _json
+
+    from doc_parser_ray.functions.pdf_bbox import pdf_chunk_bboxes
+    from doc_parser_ray.functions.pdf_extract import extract_pdf
+
+    def provenance(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_id, out_rects, out_n = [], [], []
+        for i, t in zip(ids, texts):
+            pdf = simple_text_pdf([(t or "").strip()])
+            res = extract_pdf(pdf)
+            rects = []
+            for it in res.items:
+                rects.extend(pdf_chunk_bboxes(pdf, it.text))
+            out_id.append(i)
+            out_n.append(len(rects))
+            out_rects.append(_json.dumps(rects, separators=(",", ":")))
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "n_rects": pa.array(out_n, pa.int64()),
+            "chunk_bboxes": pa.array(out_rects, pa.string()),
+        })
+
+    out = _docs(sf_dir).map_batches(provenance, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    return _collect(out).sort_by([("doc_id", "ascending")])
+
+
 # --------------------------------------------------------- similarity
 
 
