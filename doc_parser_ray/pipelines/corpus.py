@@ -120,3 +120,78 @@ def training_corpus(sf_dir: str) -> pa.Table:
          "chunk_ord", "n_chunks_of_conv"]
     ))
     return tab.sort_by([("conv_id", "ascending"), ("chunk_ord", "ascending")])
+
+
+def run_corpus(extracted_dir: str, out_dir: str, *, resume: bool = True,
+               max_tokens: int = 512, min_parse_score: float = 0.5,
+               num_partitions: int = 32) -> list[dict]:
+    """Checkpointed corpus build over ``run_extraction`` output: each
+    extraction shard (conv-aligned by construction) becomes one chunk
+    shard with its own DONE marker + lineage metrics; re-running skips
+    completed shards. Dedup scope is the conv-aligned shard — the
+    partition-level contract at 100 TB (one shard = one resumable unit
+    of work); corpus-global exact dedup remains available as
+    ``dedup_turns_exact`` over the full dataset.
+
+    Returns the lineage records of the shards processed this call.
+    """
+    import glob
+    import os
+    import shutil
+    import time
+
+    import ray.data
+
+    from doc_parser_ray.stages.chunk import assemble_chunk_counters
+    from doc_parser_ray.stages.tokenize import chunk_turns_wordpiece
+    from doc_parser_ray.state.checkpoint import (
+        shard_done,
+        write_marker,
+    )
+
+    shard_dirs = sorted(glob.glob(os.path.join(extracted_dir, "shard=*")))
+    if not shard_dirs:
+        raise ValueError(f"no extraction shards under {extracted_dir}")
+    records: list[dict] = []
+    for k, shard_dir in enumerate(shard_dirs):
+        files = sorted(glob.glob(os.path.join(shard_dir, "*.parquet")))
+        fingerprint = ",".join(files)
+        if resume and shard_done(out_dir, k, fingerprint):
+            continue
+        t0 = time.perf_counter()
+        ds = ray.data.read_parquet(
+            files, columns=["conv_id", "turn_idx", "extracted_text",
+                            "spans", "status"]
+        )
+        n_in = ds.count()
+        ds = ds.filter(expr="status == 'ok'")
+        deduped = dedup_turns_exact(ds, num_partitions=num_partitions)
+        gated = quality_gate(deduped, min_parse_score=min_parse_score)
+        chunks = assemble_chunk_counters(
+            chunk_turns_wordpiece(gated, max_tokens=max_tokens),
+            num_partitions=num_partitions,
+        )
+        shard_out = os.path.join(out_dir, f"shard={k:05d}")
+        if os.path.isdir(shard_out):
+            shutil.rmtree(shard_out)
+        chunks.write_parquet(shard_out)
+        written = ray.data.read_parquet(shard_out,
+                                        columns=["conv_id", "n_tokens"])
+        n_chunks = written.count()
+        tok = written.sum("n_tokens") if n_chunks else 0
+        wall = time.perf_counter() - t0
+        record = {
+            "shard": k,
+            "stage": "training_corpus",
+            "input_fingerprint": fingerprint,
+            "rows_in": int(n_in),
+            "chunks_out": int(n_chunks),
+            "sum_tokens": int(tok or 0),
+            "max_tokens": max_tokens,
+            "min_parse_score": min_parse_score,
+            "wall_sec": wall,
+            "completed_at_unix": time.time(),
+        }
+        write_marker(out_dir, k, record)
+        records.append(record)
+    return records

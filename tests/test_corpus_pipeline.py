@@ -76,3 +76,31 @@ class TestCorpusPipeline:
         # token budgets hold for non-oversize chunks
         multi = [r for r in rows if r["n_tokens"] <= 96]
         assert multi
+
+    def test_run_corpus_checkpointed(self, tmp_path):
+        from doc_parser_ray.pipelines.corpus import run_corpus
+        from doc_parser_ray.pipelines.extraction import run_extraction
+        from doc_parser_ray.sources.transcripts import write_transcripts
+        from doc_parser_ray.state.checkpoint import load_manifest
+        import glob
+
+        inp = str(tmp_path / "in")
+        ext = str(tmp_path / "ext")
+        out = str(tmp_path / "chunks")
+        write_transcripts(inp, n_convs=16, seed=4, max_turns=25,
+                          num_files=2)
+        run_extraction(inp, ext, shards=2)
+        recs = run_corpus(ext, out, max_tokens=96)
+        assert len(recs) == 2
+        assert all(r["chunks_out"] > 0 for r in recs)
+        # resume: second run is a no-op
+        assert run_corpus(ext, out, max_tokens=96) == []
+        manifest = load_manifest(out)
+        assert len(manifest) == 2
+        assert sum(r["chunks_out"] for r in manifest) > 0
+        # chunk shards exist and carry the counter columns
+        import ray.data as rd
+
+        files = sorted(glob.glob(f"{out}/shard=*/*.parquet"))
+        cols = rd.read_parquet(files).schema().names
+        assert {"chunk_ord", "n_chunks_of_conv", "n_tokens"} <= set(cols)
