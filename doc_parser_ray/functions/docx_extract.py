@@ -89,8 +89,10 @@ _FALSY = {"false", "0", "none"}
 
 
 def _esc_md(t: str) -> str:
-    # same prose escaping as export.items_to_markdown
-    return t.replace("&", "&amp;").replace("_", "\\_")
+    # the canonical serializer escaping (incl. angle brackets)
+    from doc_parser_ray.functions.export import esc_md_prose
+
+    return esc_md_prose(t)
 
 
 def _split_text_and_number(s: str) -> list[str]:

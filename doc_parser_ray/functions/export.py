@@ -27,6 +27,14 @@ from doc_parser_ray.datamodel import (
 )
 
 
+def esc_md_prose(t: str) -> str:
+    """The markdown serializer's prose escaping — shared by every
+    backend that pre-renders md_text (docling escapes &/</> as HTML
+    entities plus the markdown underscore)."""
+    return (t.replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;").replace("_", "\\_"))
+
+
 def items_from_row(extracted_text: str, spans_json_str: str):
     """(label, text, level) triples reconstructed from one output row."""
     spans = json.loads(spans_json_str) if spans_json_str else []
@@ -100,11 +108,7 @@ def items_to_markdown(items) -> str:
         PICTURE as _PICTURE,
     )
 
-    def esc(t: str) -> str:
-        # docling's markdown serializer escapes these in prose items
-        # (html.escape semantics for &/</> plus markdown underscore)
-        return (t.replace("&", "&amp;").replace("<", "&lt;")
-                .replace(">", "&gt;").replace("_", "\\_"))
+    esc = esc_md_prose
 
     blocks: list[str] = []
     list_run: list[str] = []

@@ -87,8 +87,9 @@ _TRIPLE_RE = re.compile(
 
 
 def _esc_inline(t: str) -> str:
-    return (t.replace("&", "&amp;").replace("<", "&lt;")
-            .replace(">", "&gt;").replace("_", "\\_"))
+    from doc_parser_ray.functions.export import esc_md_prose
+
+    return esc_md_prose(t)
 
 
 def _render_inline(text: str) -> str:

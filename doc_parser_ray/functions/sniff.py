@@ -36,8 +36,12 @@ VALID_TOOLS = {"html", "markdown", "text", "pdf", "csv", "asciidoc",
                "docx", "xlsx", "pptx", "hwpx", "jats", "uspto",
                "doc_json"}
 
-_JATS_RE = re.compile(
-    r"<!DOCTYPE\s+article[^>]*JATS|<article\b", re.I,
+# JATS needs positive evidence beyond an <article> tag: HTML5 pages use
+# <article> for ordinary content, so require a JATS DOCTYPE or a
+# JATS-shaped root (<article ...> with front matter / JATS namespace)
+_JATS_DOCTYPE_RE = re.compile(r"<!DOCTYPE\s+article[^>]*JATS", re.I)
+_JATS_BODY_RE = re.compile(
+    r"<front>|<article-meta|jats\.nlm\.nih\.gov|dtd-version=", re.I,
 )
 _USPTO_RE = re.compile(
     r"<!DOCTYPE\s+(?:us-patent-application|us-patent-grant|PATDOC"
@@ -70,12 +74,16 @@ def sniff_format(text: str, tool: str = "") -> str:
     if stripped.startswith("PATN\n") or stripped == "PATN":
         return "uspto"  # APS grant text format
     if stripped.startswith("<?xml") or stripped.startswith("<!DOCTYPE"):
-        # XML prolog: USPTO / JATS detection (document.py:440-477 analog)
+        # XML prolog: USPTO / JATS detection (document.py:440-477 analog);
+        # an HTML doctype never sniffs as an XML article format
         if _USPTO_RE.search(head):
             return "uspto"
-        if _JATS_RE.search(head):
+        if not _HTML_DECL_RE.search(head) and (
+            _JATS_DOCTYPE_RE.search(head)
+            or (_JATS_BODY_RE.search(head) and "<article" in head)
+        ):
             return "jats"
-    elif stripped.startswith("<article"):
+    elif stripped.startswith("<article") and _JATS_BODY_RE.search(head):
         return "jats"
     if _HTML_DECL_RE.search(head):
         return "html"

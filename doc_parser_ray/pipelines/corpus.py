@@ -175,10 +175,21 @@ def run_corpus(extracted_dir: str, out_dir: str, *, resume: bool = True,
         if os.path.isdir(shard_out):
             shutil.rmtree(shard_out)
         chunks.write_parquet(shard_out)
-        written = ray.data.read_parquet(shard_out,
-                                        columns=["conv_id", "n_tokens"])
-        n_chunks = written.count()
-        tok = written.sum("n_tokens") if n_chunks else 0
+        # one aggregate pass over the written shard (rows + token sum)
+        written = ray.data.read_parquet(shard_out, columns=["n_tokens"])
+
+        def _agg(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as _pc
+
+            return pa.table({
+                "rows": [b.num_rows],
+                "tok": [_pc.sum(b.column("n_tokens")).as_py() or 0],
+            })
+
+        parts = written.map_batches(_agg, batch_format="pyarrow",
+                                    zero_copy_batch=True).to_pandas()
+        n_chunks = int(parts["rows"].sum())
+        tok = int(parts["tok"].sum())
         wall = time.perf_counter() - t0
         record = {
             "shard": k,

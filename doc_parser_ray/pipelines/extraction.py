@@ -122,6 +122,7 @@ def run_extraction(
     shards: int | None = None,
     resume: bool = True,
     conv_aligned_input: bool = False,
+    with_confidence: bool = True,
 ) -> list[dict]:
     """Checkpointed run: the input is split into conv-aligned shards,
     each shard is one streaming pipeline with its own output partition +
@@ -196,12 +197,18 @@ def run_extraction(
             s: int(c) for s, c in zip(agg["status"], agg["count()"])
         }
         sums = written.sum(["n_chars_in", "n_chars_out"])
-        # ConfidenceReport-style shard rollup (grade histogram + scores
-        # over the shard's conversations) rides the lineage marker
-        from doc_parser_ray.stages.confidence import shard_confidence_summary
-
-        confidence = shard_confidence_summary(shard_out)
+        # wall / turns-per-sec cover the EXTRACTION work only — the
+        # optional confidence pass below is bookkeeping, not throughput
         wall = time.perf_counter() - t0
+        confidence = None
+        if with_confidence:
+            # ConfidenceReport-style shard rollup (grade histogram +
+            # scores over the shard's conversations) for the marker
+            from doc_parser_ray.stages.confidence import (
+                shard_confidence_summary,
+            )
+
+            confidence = shard_confidence_summary(shard_out)
         rows_out = int(sum(status_hist.values()))
         record = shard_lineage(
             shard=k,

@@ -295,17 +295,21 @@ def conv_confidence(sf_dir: str) -> pa.Table:
     from doc_parser_ray.stages.extract import apply_extract
     from doc_parser_ray.sources.transcripts import transcripts_dataset
 
+    import numpy as np
+
     ds = apply_extract(transcripts_dataset(n_convs=80, seed=42,
                                            max_turns=40))
     tab = _collect(confidence_rollup(ds))
-    import pyarrow.compute as _pc
-
-    # fixed-point for stable hashing of float scores
+    # fixed-point for stable hashing; an all-NaN conversation (every
+    # turn empty/unscorable) emits the sentinel -1 with grade
+    # "unspecified" instead of crashing the int cast on NaN
     for col in ("mean_score", "low_score"):
         idx = tab.column_names.index(col)
-        e4 = _pc.cast(_pc.floor(_pc.add(
-            _pc.multiply(tab.column(col), 10000.0), 0.5)), pa.int64())
-        tab = tab.remove_column(idx).append_column(f"{col}_e4", e4)
+        vals = tab.column(col).to_numpy(zero_copy_only=False)
+        e4 = np.where(np.isnan(vals), -1,
+                      np.floor(vals * 10000.0 + 0.5)).astype("int64")
+        tab = tab.remove_column(idx).append_column(
+            f"{col}_e4", pa.array(e4, pa.int64()))
     return tab.sort_by([("conv_id", "ascending")])
 
 

@@ -251,20 +251,6 @@ def minhash_lsh_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
     return pairs.groupby(["left_id", "right_id"]).max("est_jaccard")
 
 
-# per-worker cache of the broadcast loser-id array: resolved from the
-# object store once per worker process, never pickled into task closures
-_LOSER_CACHE: dict = {}
-
-
-def _worker_losers(losers_ref) -> pa.Array:
-    key = losers_ref.hex() if hasattr(losers_ref, "hex") else id(losers_ref)
-    if key not in _LOSER_CACHE:
-        _LOSER_CACHE[key] = (ray.get(losers_ref)
-                             if isinstance(losers_ref, ray.ObjectRef)
-                             else losers_ref)
-    return _LOSER_CACHE[key]
-
-
 def minhash_dedup_ids(ds, **kwargs):
     """Surviving ids after near-dup removal: every right_id of a pair is
     dropped (union-find collapsed to 'larger id loses', which matches the
@@ -283,7 +269,9 @@ def minhash_dedup_ids(ds, **kwargs):
     losers_ref = ray.put(loser_arr)
 
     def keep(batch: pa.Table) -> pa.Table:
-        arr = _worker_losers(losers_ref)
+        from doc_parser_ray.stages.joins import _worker_object
+
+        arr = _worker_object(losers_ref)
         mask = pc.invert(pc.is_in(batch.column(id_col), arr))
         return batch.filter(mask)
 

@@ -58,8 +58,9 @@ def _batch_topk(batch: pa.Table, queries_ref, k: int, id_col: str,
     emb = _unit(np.asarray(batch.column("embedding").to_pylist(), dtype=dtype))
     sims = Q @ emb.T  # (nq, nb)
     if bucket_col is not None:
-        probe_map = (ray.get(probe_ref)
-                     if isinstance(probe_ref, ray.ObjectRef) else probe_ref)
+        from doc_parser_ray.stages.joins import _worker_object
+
+        probe_map = _worker_object(probe_ref)
         buckets = batch.column(bucket_col).to_numpy(zero_copy_only=False)
         for qi, qid in enumerate(query_ids):
             allowed = np.isin(

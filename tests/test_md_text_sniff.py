@@ -107,3 +107,35 @@ class TestSniff:
     def test_plain(self):
         assert sniff_format("just words here.") == "text"
         assert sniff_format("") == "text"
+
+
+class TestArticleSniffDisambiguation:
+    """HTML5 <article> pages are NOT JATS (code-review r2 finding)."""
+
+    def test_html5_article_page_sniffs_html(self):
+        from doc_parser_ray.functions.extract import extract_payload
+        from doc_parser_ray.functions.sniff import sniff_format
+
+        page = ("<!DOCTYPE html><html><head><script>var x=1;</script>"
+                "</head><body><article><h1>T</h1><p>Real prose.</p>"
+                "</article></body></html>")
+        assert sniff_format(page, "") == "html"
+        _fmt, res = extract_payload(page, "")
+        text = "\n".join(i.text for i in res.items)
+        assert "var x=1" not in text and "Real prose." in text
+
+    def test_bare_article_fragment_sniffs_html(self):
+        from doc_parser_ray.functions.sniff import sniff_format
+
+        assert sniff_format("<article><p>post</p></article>", "") == "html"
+
+    def test_jats_forms_still_detected(self):
+        from doc_parser_ray.functions.sniff import sniff_format
+
+        doctype = ('<?xml version="1.0"?><!DOCTYPE article PUBLIC '
+                   '"-//NLM//DTD JATS (Z39.96)" "JATS-journal.dtd">'
+                   "<article><front/></article>")
+        rootonly = ("<article><front><article-meta/></front>"
+                    "<body><p>x</p></body></article>")
+        assert sniff_format(doctype, "") == "jats"
+        assert sniff_format(rootonly, "") == "jats"

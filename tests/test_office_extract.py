@@ -58,13 +58,40 @@ class TestXlsx:
         assert res.items[0].text == "a | b\nc | d"
 
     def test_disconnected_regions_become_two_tables(self):
-        # A1:B1 table, then a gap, then D3 alone
-        rows = [["a", "b", "", "x"]]
-        data = simple_xlsx(rows)
-        res = extract_xlsx(data)
-        # empty string cells are real (inline str "") — region scan
-        # treats them as present; use None-free generator semantics:
+        """Hand-built sheet XML with truly ABSENT cells: A1:B2 block,
+        a gap column, then D1:D2 — two separate contiguous regions."""
+        import re
+        import zipfile
+        from io import BytesIO
+
+        base = simple_xlsx([["x"]])
+        zin = zipfile.ZipFile(BytesIO(base))
+        sheet = (
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            '<worksheet xmlns="http://schemas.openxmlformats.org/'
+            'spreadsheetml/2006/main"><sheetData>'
+            '<row r="1">'
+            '<c r="A1" t="inlineStr"><is><t>a1</t></is></c>'
+            '<c r="B1" t="inlineStr"><is><t>b1</t></is></c>'
+            '<c r="D1" t="inlineStr"><is><t>d1</t></is></c>'
+            '</row>'
+            '<row r="2">'
+            '<c r="A2" t="inlineStr"><is><t>a2</t></is></c>'
+            '<c r="B2" t="inlineStr"><is><t>b2</t></is></c>'
+            '<c r="D2" t="inlineStr"><is><t>d2</t></is></c>'
+            '</row>'
+            '</sheetData></worksheet>'
+        )
+        buf = BytesIO()
+        with zipfile.ZipFile(buf, "w") as zout:
+            for name in zin.namelist():
+                data = (sheet.encode() if name == "xl/worksheets/sheet1.xml"
+                        else zin.read(name))
+                zout.writestr(name, data)
+        res = extract_xlsx(buf.getvalue())
         assert res.status == "ok"
+        tables = [i.text for i in res.items if i.label == "table"]
+        assert tables == ["a1 | b1\na2 | b2", "d1\nd2"]
 
     def test_garbage(self):
         assert extract_xlsx(b"junk").status == "parse_error"
