@@ -20,8 +20,6 @@ gate's provenance, counters are consistent).
 
 from __future__ import annotations
 
-import zlib
-
 import numpy as np
 import pyarrow as pa
 
@@ -35,18 +33,23 @@ def dedup_turns_exact(ds, *, num_partitions: int = 64):
     scan, shuffle carries full rows exactly once (the corpus would be
     re-joined anyway; for key-only shuffles see stages/dedup.py)."""
     from doc_parser_ray.functions.textstats import normalize_for_dedup
-    import hashlib
+    import polars as pl
 
     def add_key(batch: pa.Table) -> pa.Table:
+        # normalization stays per-row (string munging); the key is a
+        # 128-bit hash (two seeded-xxhash polars passes, vectorized —
+        # collision odds ~2^-49 even at 10^12 rows) packed into one
+        # fixed-size-binary column straight from the numpy buffer.
         texts = batch.column("extracted_text").to_pylist()
-        keys, pkeys = [], []
-        for t in texts:
-            h = hashlib.sha1(normalize_for_dedup(t or "").encode()).hexdigest()
-            keys.append(h)
-            pkeys.append(zlib.crc32(h.encode()) % num_partitions)
-        return batch.append_column(
-            "dedup_key", pa.array(keys, pa.string())
-        ).append_column("pkey", pa.array(pkeys, pa.int32()))
+        norm = pl.Series([normalize_for_dedup(t or "") for t in texts])
+        h0 = norm.hash(seed=0).to_numpy().astype(np.uint64, copy=False)
+        h1 = norm.hash(seed=1).to_numpy().astype(np.uint64, copy=False)
+        packed = np.column_stack([h0, h1]).tobytes()
+        keys = pa.Array.from_buffers(
+            pa.binary(16), len(texts), [None, pa.py_buffer(packed)])
+        pkeys = pa.array((h0 % np.uint64(num_partitions)).astype(np.int32))
+        return batch.append_column("dedup_key", keys) \
+                    .append_column("pkey", pkeys)
 
     def keep_winners(part: pa.Table) -> pa.Table:
         part = part.sort_by([
@@ -56,7 +59,9 @@ def dedup_turns_exact(ds, *, num_partitions: int = 64):
         n = part.num_rows
         if n == 0:
             return part.drop_columns(["pkey", "dedup_key"])
-        keys = np.asarray(part.column("dedup_key").to_pylist(), dtype=object)
+        # vectorized first-of-span scan over the fixed-width key bytes
+        keys = np.frombuffer(
+            b"".join(part.column("dedup_key").to_pylist()), dtype="V16")
         first = np.ones(n, dtype=bool)
         first[1:] = keys[1:] != keys[:-1]
         return part.filter(pa.array(first)) \

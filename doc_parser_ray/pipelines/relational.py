@@ -370,40 +370,124 @@ def q_sliding_window(sf_dir: str, window_days: int = 7) -> pa.Table:
     return collect_table(out).sort_by([("o_orderkey", "ascending")])
 
 
-def q_value_percentiles(sf_dir: str) -> pa.Table:
-    """EXACT distributed percentiles without a global sort: event values
-    are fixed-point cents (bounded cardinality), so a groupby(value)
-    count — map-side combined — plus a driver-side cumulative sum over
-    the tiny histogram yields exact order statistics. The scale shape
-    for quantiles over discretized metrics: the shuffle moves one row
-    per DISTINCT value, never the corpus. Oracle: the same index rule
-    (smallest value whose cumulative count reaches ceil(q*n)) in SQL."""
+def exact_quantiles(values_ds, column: str,
+                    quantiles=(0.5, 0.9, 0.99), *,
+                    distinct_budget: int = 1_000_000,
+                    num_buckets: int = 8192) -> list[int]:
+    """EXACT distributed order statistics over an int64 column without a
+    global sort, with a cardinality guard.
+
+    Strategy choice is made from an HLL estimate (fixed-size per-block
+    states, NO shuffle — ``stages/sketch.approx_distinct``):
+
+      - distinct count within ``distinct_budget``: groupby(value) count
+        (map-side combined) + a driver-side cumulative sum over the
+        small histogram. The shuffle moves one row per DISTINCT value.
+      - high cardinality: two-pass bucketed quantile — per-block
+        ``bincount`` partials over ``num_buckets`` equi-width buckets
+        reduce driver-side to fixed-size arrays (no shuffle), the
+        target ranks locate their buckets, and ONLY the rows of those
+        buckets go through a groupby(value) histogram (distinct values
+        within a 1/num_buckets value slice are bounded in practice;
+        the budget re-guards that collect).
+
+    Rank rule (matches the SQL oracle): the q-quantile is the smallest
+    value whose cumulative count reaches ceil(q*n).
+    """
     import numpy as np
 
+    ds = values_ds.materialize()
+
+    def _ranks(n):
+        return [max(1, int(np.ceil(q * n))) for q in quantiles]
+
+    from doc_parser_ray.stages.sketch import approx_distinct
+
+    # 1.04/sqrt(2^12) ≈ 1.6% standard error; 20% headroom on the guard
+    if approx_distinct(ds, column) <= distinct_budget * 0.8:
+        hist = collect_table(ds.groupby(column).count())
+        vals = hist.column(column).to_numpy(zero_copy_only=False)
+        counts = hist.column("count()").to_numpy(zero_copy_only=False)
+        order = np.argsort(vals)
+        vals, counts = vals[order], counts[order]
+        cum = np.cumsum(counts)
+        n = int(cum[-1]) if len(cum) else 0
+        return [int(vals[int(np.searchsorted(cum, r))])
+                for r in _ranks(n)]
+
+    # ---- high-cardinality path: bucketed two-pass
+    stats = collect_table(ds.map_batches(
+        lambda b: pa.table({
+            "n": pa.array([b.num_rows], pa.int64()),
+            "lo": pa.array([pc.min(b.column(column)).as_py()], pa.int64()),
+            "hi": pa.array([pc.max(b.column(column)).as_py()], pa.int64()),
+        }), batch_format="pyarrow", zero_copy_batch=True))
+    n = int(pc.sum(stats.column("n")).as_py())
+    vmin = int(pc.min(stats.column("lo")).as_py())
+    vmax = int(pc.max(stats.column("hi")).as_py())
+    width = max(1, -(-(vmax - vmin + 1) // num_buckets))
+
+    def block_hist(batch: pa.Table) -> pa.Table:
+        v = batch.column(column).to_numpy(zero_copy_only=False)
+        counts = np.bincount((v - vmin) // width, minlength=num_buckets)
+        return pa.table({"h": pa.array([counts.astype(np.int64).tobytes()],
+                                       pa.binary())})
+
+    bucket_counts = np.zeros(num_buckets, dtype=np.int64)
+    for b in ds.map_batches(block_hist, batch_format="pyarrow",
+                            zero_copy_batch=True).iter_batches(
+                                batch_format="pyarrow"):
+        for blob in b.column("h").to_pylist():
+            bucket_counts += np.frombuffer(blob, dtype=np.int64)
+    cum_buckets = np.cumsum(bucket_counts)
+    ranks = _ranks(n)
+    targets = sorted({int(np.searchsorted(cum_buckets, r)) for r in ranks})
+    target_arr = np.array(targets, dtype=np.int64)
+
+    def in_targets(batch: pa.Table) -> pa.Table:
+        v = batch.column(column).to_numpy(zero_copy_only=False)
+        keep = np.isin((v - vmin) // width, target_arr)
+        return batch.filter(pa.array(keep))
+
+    inner = collect_table(
+        ds.map_batches(in_targets, batch_format="pyarrow",
+                       zero_copy_batch=True).groupby(column).count())
+    ivals = inner.column(column).to_numpy(zero_copy_only=False)
+    icounts = inner.column("count()").to_numpy(zero_copy_only=False)
+    order = np.argsort(ivals)
+    ivals, icounts = ivals[order], icounts[order]
+    out = []
+    for r in ranks:
+        t = int(np.searchsorted(cum_buckets, r))
+        before = int(cum_buckets[t - 1]) if t else 0
+        mask = (ivals - vmin) // width == t
+        bvals, bcounts = ivals[mask], icounts[mask]
+        bcum = np.cumsum(bcounts) + before
+        out.append(int(bvals[int(np.searchsorted(bcum, r))]))
+    return out
+
+
+def q_value_percentiles(sf_dir: str,
+                        distinct_budget: int = 1_000_000) -> pa.Table:
+    """EXACT distributed percentiles via ``exact_quantiles``: event
+    values are fixed-point cents (bounded cardinality), so the sketch-
+    guarded strategy normally takes the small-histogram path; a
+    high-cardinality column would fall back to the bucketed two-pass
+    plan instead of materializing ~n rows on the driver. Oracle: the
+    same rank rule (smallest value whose cumulative count reaches
+    ceil(q*n)) in SQL."""
     ev = _read(sf_dir, "events", ["value"])
 
     def prep(batch: pa.Table) -> pa.Table:
         return pa.table({"value_c": cents(batch.column("value"))})
 
-    hist = collect_table(
-        ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("value_c").count()
-    )
-    vals = hist.column("value_c").to_numpy(zero_copy_only=False)
-    counts = hist.column("count()").to_numpy(zero_copy_only=False)
-    order = np.argsort(vals)
-    vals, counts = vals[order], counts[order]
-    cum = np.cumsum(counts)
-    n = int(cum[-1]) if len(cum) else 0
-    out_q, out_v = [], []
-    for q in (0.5, 0.9, 0.99):
-        rank = int(np.ceil(q * n))
-        idx = int(np.searchsorted(cum, rank))
-        out_q.append(int(q * 100))
-        out_v.append(int(vals[idx]))
+    qs = (0.5, 0.9, 0.99)
+    vals = exact_quantiles(
+        ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        "value_c", qs, distinct_budget=distinct_budget)
     return pa.table({
-        "pct": pa.array(out_q, pa.int64()),
-        "value_c": pa.array(out_v, pa.int64()),
+        "pct": pa.array([int(q * 100) for q in qs], pa.int64()),
+        "value_c": pa.array(vals, pa.int64()),
     })
 
 
@@ -413,20 +497,27 @@ def q_interval_join(sf_dir: str, window_days: int = 90) -> pa.Table:
     ``window_days`` window (starting at that order's date) contains it
     — "orders placed within 90 days of another order by the same
     customer", incl. the self-match. Multi-interval containment against
-    a SQL BETWEEN-join oracle."""
+    a SQL BETWEEN-join oracle. This is a fact⋈fact self-join: the right
+    side stays a Dataset (interval windows derived per batch) and
+    ``interval_join``'s budget switch decides broadcast vs
+    repartition-merge — nothing is unconditionally collected on the
+    driver."""
     from doc_parser_ray.stages.joins import interval_join
 
-    orders = collect_table(
-        _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate"])
-    )
-    start = orders.column("o_orderdate").cast(pa.int64()).combine_chunks()
-    end = pc.add(start, pa.scalar(window_days * 86_400_000_000, pa.int64()))
-    right = pa.table({
-        "o_custkey": orders.column("o_custkey"),
-        "start_us": start,
-        "end_us": end,
-        "prior_orderkey": orders.column("o_orderkey"),
-    })
+    def mk_intervals(batch: pa.Table) -> pa.Table:
+        start = batch.column("o_orderdate").cast(pa.int64())
+        end = pc.add(start,
+                     pa.scalar(window_days * 86_400_000_000, pa.int64()))
+        return pa.table({
+            "o_custkey": batch.column("o_custkey"),
+            "start_us": start,
+            "end_us": end,
+            "prior_orderkey": batch.column("o_orderkey"),
+        })
+
+    right = _read(sf_dir, "orders",
+                  ["o_custkey", "o_orderkey", "o_orderdate"]).map_batches(
+        mk_intervals, batch_format="pyarrow", zero_copy_batch=True)
     left = _read(sf_dir, "orders",
                  ["o_orderkey", "o_custkey", "o_orderdate"])
     out = interval_join(

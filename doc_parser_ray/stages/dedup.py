@@ -281,32 +281,53 @@ def minhash_dedup_ids(ds, **kwargs):
 # -------------------------------------------------------------- simhash
 
 
-def simhash64(text: str) -> int:
+def simhash64_batch(texts: list[str]) -> np.ndarray:
     """64-bit SimHash over word 2-grams (Charikar 2002 / Manku et al.
-    WWW'07 construction)."""
-    words = normalize_for_dedup(text).split()
-    if not words:
-        return 0
-    feats = [" ".join(words[i: i + 2]) for i in range(max(1, len(words) - 1))]
-    acc = np.zeros(64, dtype=np.int64)
+    WWW'07 construction), vectorized over a whole batch: every feature
+    of every doc is hashed in ONE polars (seeded-xxhash) pass, the ±1
+    bit accumulation is a single (features × 64) numpy reduceat — no
+    per-feature Python in the hot path."""
+    import polars as pl
+
+    feats: list[str] = []
+    counts = np.empty(len(texts), dtype=np.int64)
+    for d, text in enumerate(texts):
+        words = normalize_for_dedup(text or "").split()
+        if not words:
+            counts[d] = 0
+            continue
+        fs = [" ".join(words[i: i + 2])
+              for i in range(max(1, len(words) - 1))]
+        counts[d] = len(fs)
+        feats.extend(fs)
+
+    out = np.zeros(len(texts), dtype=np.uint64)
+    if not feats:
+        return out
+    h = pl.Series(feats).hash(seed=0).to_numpy().astype(np.uint64,
+                                                        copy=False)
     shifts = np.arange(64, dtype=np.uint64)
-    one = np.uint64(1)
-    for f in feats:
-        # np.uint64 throughout: a plain python int >= 2**63 cannot mix
-        # with numpy shift operands
-        h = np.uint64(_sha1_64(f))
-        bits = (h >> shifts) & one
-        acc += np.where(bits == one, 1, -1)
-    out = 0
-    for bit in range(64):
-        if acc[bit] > 0:
-            out |= 1 << bit
+    bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32)
+    signs = (bits << 1) - 1  # {0,1} -> {-1,+1}
+    # per-doc sums: feature rows are already grouped by doc, so one
+    # reduceat over the nonempty docs' span starts (empty docs stay 0)
+    nonempty = counts > 0
+    starts = np.concatenate(([0], np.cumsum(counts)))[:-1][nonempty]
+    acc = np.zeros((len(texts), 64), dtype=np.int64)
+    acc[nonempty] = np.add.reduceat(signs, starts, axis=0)
+    sig_bits = (acc > 0).astype(np.uint64)
+    out = (sig_bits << shifts[None, :]).sum(axis=1, dtype=np.uint64)
     return out
+
+
+def simhash64(text: str) -> int:
+    """Single-doc convenience wrapper over ``simhash64_batch``."""
+    return int(simhash64_batch([text])[0])
 
 
 def add_simhash(batch: pa.Table, text_col: str = "text") -> pa.Table:
     texts = batch.column(text_col).to_pylist()
-    hs = pa.array([simhash64(t or "") for t in texts], pa.uint64())
+    hs = pa.array(simhash64_batch(texts), pa.uint64())
     return batch.append_column("simhash", hs)
 
 
@@ -389,7 +410,7 @@ def _sig_bytes(sh: set[int]) -> bytes:
 
 def ngram_jaccard_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
                         k: int = 3, threshold: float = 0.5,
-                        max_shingle_df: int | None = 256,
+                        max_shingle_df: int | None = None,
                         num_partitions: int = 32):
     """EXACT n-gram-Jaccard near-dup pairs, distributed.
 
@@ -409,9 +430,11 @@ def ngram_jaccard_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
     a real corpus), then scored per pair in map_batches.
 
     ``max_shingle_df`` drops stop-shingle buckets whose pair emission
-    would be O(df²) — the default keeps the hot-bucket bomb disarmed at
-    scale at the cost of missing pairs whose ONLY shared prefix shingles
-    are corpus-wide stop shingles; pass ``None`` for exact results.
+    would be O(df²). The default (``None``) keeps the headline claim
+    exact — full recall, every qualifying pair. Corpus-scale callers
+    should OPT IN to a cap (e.g. 256) to disarm the hot-bucket bomb, at
+    the explicit cost of missing pairs whose ONLY shared prefix shingles
+    are corpus-wide stop shingles.
 
     Returns a Dataset of (left_id, right_id, jaccard), jaccard ≥ θ.
     """

@@ -57,10 +57,21 @@ def broadcast_join(ds, small: pa.Table, *, left_key: str, right_key: str,
     ``Table.join`` (Acero hash join) — vectorized C++, no pandas.
     Plain tasks (no actor pool): the state is recoverable from the
     object store, so actor lifecycle buys nothing here and costs pool
-    startup on every query."""
+    startup on every query.
+
+    Only ``inner`` and ``left`` are broadcast-safe: a right/full outer
+    join evaluated per streaming batch would re-emit the small side's
+    unmatched rows once PER BATCH (and rows matched only in some other
+    batch would still surface as spurious null-joined rows). Those
+    semantics need a shuffle join (``Dataset.join``) — refuse here."""
+    if how in ("right", "outer", "full outer", "right outer"):
+        raise ValueError(
+            f"broadcast_join cannot evaluate how={how!r} per batch: "
+            "unmatched small-side rows would duplicate once per batch. "
+            "Use an inner/left broadcast join or a shuffle join "
+            "(Dataset.join) for right/full outer semantics.")
     small_ref = ray.put(small)
-    join_type = {"left": "left outer", "right": "right outer",
-                 "outer": "full outer"}.get(how, how)
+    join_type = {"left": "left outer"}.get(how, how)
 
     def join_batch(batch: pa.Table) -> pa.Table:
         small_tab = _worker_object(small_ref)
@@ -74,77 +85,179 @@ def broadcast_join(ds, small: pa.Table, *, left_key: str, right_key: str,
 # ------------------------------------------------------------ range
 
 
+def _interval_lookup(keys: np.ndarray, ts: np.ndarray, rk: np.ndarray,
+                     rs: np.ndarray, re_: np.ndarray,
+                     rv: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized interval containment against (key, start, val)-sorted
+    right arrays: for each left (key, ts) emit one match per right
+    interval with the same key and ``start ≤ ts < end``. Left rows are
+    grouped by key (one argsort), then one (rows × intervals) mask per
+    distinct key. Returns (left_row_indices, matched_vals) — parallel
+    arrays, possibly empty."""
+    n = len(keys)
+    take_idx: list[np.ndarray] = []
+    vals: list[np.ndarray] = []
+    order = np.argsort(keys, kind="stable")
+    i = 0
+    while i < n:
+        j = i
+        u = keys[order[i]]
+        while j < n and keys[order[j]] == u:
+            j += 1
+        rows = order[i:j]
+        s = np.searchsorted(rk, u, side="left")
+        e = np.searchsorted(rk, u, side="right")
+        if e > s:
+            starts = rs[s:e]
+            ends = re_[s:e]
+            hit = ((starts[None, :] <= ts[rows, None])
+                   & (ts[rows, None] < ends[None, :]))
+            li, ri = np.nonzero(hit)
+            if len(li):
+                take_idx.append(rows[li])
+                vals.append(rv[s + ri])
+        i = j
+    if not take_idx:
+        return (np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=rv.dtype))
+    return np.concatenate(take_idx), np.concatenate(vals)
+
+
 def interval_join(left_ds, right, *, left_key: str, left_ts: str,
                   right_key: str, start_col: str, end_col: str,
-                  right_val: str):
+                  right_val: str, broadcast_budget_rows: int = 2_000_000,
+                  num_partitions: int = 16):
     """Range (interval) join: every left row matched to EVERY right
     interval of the same key with ``start ≤ ts < end``.
 
-    The right side is broadcast as per-key sorted interval arrays
-    (``ray.put`` once); each batch groups its rows by key and evaluates
-    the start/end containment as one vectorized (rows × intervals)
-    mask per key. Partitioning assumption (documented per SURVEY §7
-    custom-operator rule): intervals per key are bounded (dimension-
-    scale); a corpus-scale right side would use the same
-    repartition-by-key merge as ``asof_join``.
+    Two strategies sharing one vectorized containment kernel
+    (``_interval_lookup``), budget-switched exactly like ``asof_join``:
+
+      - broadcast (right side fits ``broadcast_budget_rows``): the right
+        side is collected, sorted ONCE into flat (key, start, end, val)
+        arrays and ``ray.put`` once; the left side streams unshuffled
+        and each batch evaluates containment per distinct key;
+      - repartition-merge (right side too big — e.g. a fact⋈fact
+        self-join): both sides hash-partition on the key into a BOUNDED
+        number of partitions and the identical kernel runs per
+        partition. The shuffle moves only the join projections.
 
     Returns a Dataset with the left columns plus ``right_val``
     (one output row per match; unmatched left rows drop).
     """
     from doc_parser_ray.util import collect_table
 
-    right_tab = right if isinstance(right, pa.Table) else collect_table(right)
-    right_tab = right_tab.select(
-        [right_key, start_col, end_col, right_val]
-    ).sort_by([(right_key, "ascending"), (start_col, "ascending"),
-               (right_val, "ascending")])
-    rk = right_tab.column(right_key).to_numpy(zero_copy_only=False)
-    rs = right_tab.column(start_col).cast(pa.int64()).to_numpy(
-        zero_copy_only=False)
-    re_ = right_tab.column(end_col).cast(pa.int64()).to_numpy(
-        zero_copy_only=False)
-    rv = right_tab.column(right_val).to_numpy(zero_copy_only=False)
-    ref = ray.put((rk, rs, re_, rv))
+    if isinstance(right, pa.Table):
+        right_tab, right_rows = right, right.num_rows
+    else:
+        right = right.materialize()
+        right_rows = right.count()
+        right_tab = None  # collected only on the broadcast path
 
-    def join_batch(batch: pa.Table) -> pa.Table:
-        rk_, rs_, re2, rv_ = _worker_object(ref)
-        keys = batch.column(left_key).to_numpy(zero_copy_only=False)
-        ts = batch.column(left_ts).cast(pa.int64()).to_numpy(
+    if right_rows <= broadcast_budget_rows:
+        if right_tab is None:
+            right_tab = collect_table(right)
+        right_tab = right_tab.select(
+            [right_key, start_col, end_col, right_val]
+        ).sort_by([(right_key, "ascending"), (start_col, "ascending"),
+                   (right_val, "ascending")])
+        rk = right_tab.column(right_key).to_numpy(zero_copy_only=False)
+        rs = right_tab.column(start_col).cast(pa.int64()).to_numpy(
             zero_copy_only=False)
-        n = len(keys)
-        take_idx: list[np.ndarray] = []
-        vals: list[np.ndarray] = []
-        order = np.argsort(keys, kind="stable")
-        i = 0
-        while i < n:
-            j = i
-            u = keys[order[i]]
-            while j < n and keys[order[j]] == u:
-                j += 1
-            rows = order[i:j]
-            s = np.searchsorted(rk_, u, side="left")
-            e = np.searchsorted(rk_, u, side="right")
-            if e > s:
-                starts = rs_[s:e]
-                ends = re2[s:e]
-                hit = ((starts[None, :] <= ts[rows, None])
-                       & (ts[rows, None] < ends[None, :]))
-                li, ri = np.nonzero(hit)
-                if len(li):
-                    take_idx.append(rows[li])
-                    vals.append(rv_[s + ri])
-            i = j
-        if not take_idx:
-            out = batch.slice(0, 0)
-            return out.append_column(
-                right_val, pa.array([], right_tab.schema.field(right_val).type)
-            )
-        idx = np.concatenate(take_idx)
-        out = batch.take(pa.array(idx))
-        return out.append_column(right_val, pa.array(np.concatenate(vals)))
+        re_ = right_tab.column(end_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        rv = right_tab.column(right_val).to_numpy(zero_copy_only=False)
+        ref = ray.put((rk, rs, re_, rv))
+        val_type = right_tab.schema.field(right_val).type
 
-    return left_ds.map_batches(join_batch, batch_format="pyarrow",
-                               zero_copy_batch=True)
+        def join_batch(batch: pa.Table) -> pa.Table:
+            rk_, rs_, re2, rv_ = _worker_object(ref)
+            keys = batch.column(left_key).to_numpy(zero_copy_only=False)
+            ts = batch.column(left_ts).cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+            idx, vals = _interval_lookup(keys, ts, rk_, rs_, re2, rv_)
+            if not len(idx):
+                out = batch.slice(0, 0)
+                return out.append_column(right_val, pa.array([], val_type))
+            out = batch.take(pa.array(idx))
+            return out.append_column(right_val, pa.array(vals, val_type))
+
+        return left_ds.map_batches(join_batch, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+
+    # ---- repartition-merge fallback: both sides keyed into bounded
+    # partitions; only join projections shuffle (mirrors asof_join)
+    left_cols = left_ds.schema().names
+    left_schema = left_ds.schema().base_schema
+    left_key_type = left_schema.field(left_key).type
+    right_val_type = right.schema().base_schema.field(right_val).type
+
+    def tag(side: int, key_col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+            if keys.dtype.kind in "iu":
+                pk = (keys % num_partitions).astype("int32")
+            else:
+                pk = np.array(
+                    [zlib.crc32(str(x).encode()) % num_partitions
+                     for x in keys], dtype="int32")
+            cols = {"pkey": pa.array(pk),
+                    "side": pa.array(np.full(len(keys), side, dtype="int8"))}
+            if side == 0:
+                for c in left_cols:
+                    cols[f"l_{c}"] = batch.column(c)
+                cols["r_start"] = pa.nulls(len(keys), pa.int64())
+                cols["r_end"] = pa.nulls(len(keys), pa.int64())
+                cols["r_val"] = pa.nulls(len(keys), right_val_type)
+            else:
+                for c in left_cols:
+                    cols[f"l_{c}"] = pa.nulls(
+                        len(keys), left_schema.field(c).type)
+                # cast to the LEFT key type so the union schema agrees
+                cols[f"l_{left_key}"] = batch.column(key_col).cast(
+                    left_key_type)
+                cols["r_start"] = batch.column(start_col).cast(pa.int64())
+                cols["r_end"] = batch.column(end_col).cast(pa.int64())
+                cols["r_val"] = batch.column(right_val)
+            return pa.table(cols)
+        return fn
+
+    right_proj = (right.select_columns(
+        [right_key, start_col, end_col, right_val])
+        .map_batches(tag(1, right_key), batch_format="pyarrow"))
+    left_tagged = left_ds.map_batches(tag(0, left_key),
+                                      batch_format="pyarrow")
+    both = left_tagged.union(right_proj).materialize()
+
+    def merge(part: pa.Table) -> pa.Table:
+        side = part.column("side").to_numpy(zero_copy_only=False)
+        rt_tab = part.filter(pa.array(side == 1))
+        lt_tab = part.filter(pa.array(side == 0))
+        empty_cols = {c: pa.array([], left_schema.field(c).type)
+                      for c in left_cols}
+        empty_cols[right_val] = pa.array([], right_val_type)
+        if rt_tab.num_rows == 0 or lt_tab.num_rows == 0:
+            return pa.table(empty_cols)
+        rt_tab = rt_tab.sort_by(
+            [(f"l_{left_key}", "ascending"), ("r_start", "ascending"),
+             ("r_val", "ascending")]
+        )
+        rk = rt_tab.column(f"l_{left_key}").to_numpy(zero_copy_only=False)
+        rs = rt_tab.column("r_start").to_numpy(zero_copy_only=False)
+        re_ = rt_tab.column("r_end").to_numpy(zero_copy_only=False)
+        rv = rt_tab.column("r_val").to_numpy(zero_copy_only=False)
+        keys = lt_tab.column(f"l_{left_key}").to_numpy(zero_copy_only=False)
+        ts = lt_tab.column(f"l_{left_ts}").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        idx, vals = _interval_lookup(keys, ts, rk, rs, re_, rv)
+        if not len(idx):
+            return pa.table(empty_cols)
+        out = lt_tab.take(pa.array(idx))
+        cols = {c: out.column(f"l_{c}") for c in left_cols}
+        cols[right_val] = pa.array(vals, right_val_type)
+        return pa.table(cols)
+
+    return both.groupby("pkey").map_groups(merge, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------- as-of
@@ -259,7 +372,10 @@ def asof_join(left_ds, right, *, left_key: str, right_key: str,
                 for c in left_cols:
                     cols[f"l_{c}"] = pa.nulls(
                         len(keys), left_schema.field(c).type)
-                cols[f"l_{left_key}"] = batch.column(key_col)
+                # cast to the LEFT key type so the union schema agrees
+                # even when the two key columns differ (e.g. int32/int64)
+                cols[f"l_{left_key}"] = batch.column(key_col).cast(
+                    left_schema.field(left_key).type)
                 cols["r_ts"] = batch.column(right_ts).cast(pa.int64())
                 cols["r_val"] = batch.column(right_val)
             return pa.table(cols)

@@ -11,48 +11,59 @@ Standard error ≈ 1.04/sqrt(2^p).
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 
 
 def _hash64(values) -> np.ndarray:
-    out = np.empty(len(values), dtype=np.uint64)
-    for i, v in enumerate(values):
-        h = hashlib.blake2b(str(v).encode(), digest_size=8).digest()
-        out[i] = np.frombuffer(h, dtype=np.uint64)[0]
-    return out
+    """Vectorized 64-bit hash of a column of values.
+
+    Accepts a pyarrow Array/ChunkedArray (cast to string zero-ish-copy,
+    hashed in one Rust pass via polars' seeded xxhash — deterministic
+    across processes for a fixed seed and version) or any Python
+    iterable (stringified first). No per-row Python in the Arrow path.
+    """
+    import polars as pl
+
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        s = pl.from_arrow(values.cast(pa.string()))
+    else:
+        s = pl.Series([str(v) for v in values])
+    return s.hash(seed=0).to_numpy().astype(np.uint64, copy=False)
+
+
+# standard bias-correction constants (Flajolet et al. 2007 Fig. 3):
+# exact values for m=16/32/64, the closed form for m >= 128
+_ALPHA_SMALL = {4: 0.673, 5: 0.697, 6: 0.709}
 
 
 class HyperLogLog:
-    """Dense HLL with 2**p registers."""
+    """Dense HLL with 2**p registers (4 <= p <= 16)."""
 
     def __init__(self, p: int = 12):
+        if not 4 <= p <= 16:
+            raise ValueError(f"HyperLogLog p must be in [4, 16], got {p}")
         self.p = p
         self.m = 1 << p
         self.registers = np.zeros(self.m, dtype=np.uint8)
-        if p == 12:
-            self.alpha = 0.7213 / (1 + 1.079 / self.m)
-        elif p >= 7:
-            self.alpha = 0.7213 / (1 + 1.079 / self.m)
-        else:
-            self.alpha = 0.673
+        self.alpha = _ALPHA_SMALL.get(p, 0.7213 / (1 + 1.079 / self.m))
 
     def add_hashes(self, hashes: np.ndarray) -> None:
         bucket = (hashes >> np.uint64(64 - self.p)).astype(np.int64)
+        # sentinel bit p-1 caps the rank at 64-p+1 when the remaining
+        # bits are all zero; rest is therefore never 0
         rest = (hashes << np.uint64(self.p)) | np.uint64(1 << (self.p - 1))
-        # rank = leading zeros of the remaining bits + 1, vectorized via
-        # bit-length: 64 - floor(log2(rest))
-        rank = np.zeros(len(hashes), dtype=np.uint8)
-        nonzero = rest != 0
-        # log2 on uint64 loses precision near 2^64 — use float128-safe
-        # approach: count via np.left_shift probing is slow; use
-        # np.frexp on float conversion of the HIGH 53 bits
-        hi = (rest >> np.uint64(11)).astype(np.float64)  # 53-bit safe
-        exp = np.frexp(hi)[1]  # rest ≈ hi * 2^11, bitlen = exp + 11
-        bitlen = exp + 11
-        rank[nonzero] = (64 - bitlen[nonzero] + 1).astype(np.uint8)
+        # rank = leading zeros of the remaining bits + 1, via bit length.
+        # log2 on uint64 loses precision near 2^64, so take the HIGH 53
+        # bits (exact in float64) and frexp; values < 2^11 would under-
+        # rank through that path (frexp(0) -> 0 -> bitlen 11), so they
+        # get the direct conversion, which IS exact below 2^53.
+        hi = (rest >> np.uint64(11)).astype(np.float64)
+        bitlen = np.frexp(hi)[1] + 11  # rest ≈ hi * 2^11
+        small = rest < np.uint64(1 << 11)
+        if small.any():
+            bitlen[small] = np.frexp(rest[small].astype(np.float64))[1]
+        rank = (64 - bitlen + 1).astype(np.uint8)
         np.maximum.at(self.registers, bucket, rank)
 
     def merge(self, other: "HyperLogLog") -> "HyperLogLog":
@@ -76,7 +87,7 @@ def approx_distinct(ds, column: str, *, p: int = 12) -> float:
     one elementwise-max reduce — blocks never shuffle."""
     def block_state(batch: pa.Table) -> pa.Table:
         hll = HyperLogLog(p)
-        hll.add_hashes(_hash64(batch.column(column).to_pylist()))
+        hll.add_hashes(_hash64(batch.column(column)))
         return pa.table({"registers": pa.array([hll.registers.tobytes()],
                                                pa.binary())})
 
@@ -96,18 +107,21 @@ def approx_distinct_by(ds, key: str, column: str, *, p: int = 12) -> pa.Table:
     """Per-key approximate distinct counts: register states combine in
     a keyed groupby whose shuffle carries (key, 2^p bytes) rows only."""
     def block_state(batch: pa.Table) -> pa.Table:
-        keys = batch.column(key).to_pylist()
-        vals = batch.column(column).to_pylist()
-        by_key: dict = {}
-        hashes = _hash64(vals)
-        for k, h in zip(keys, hashes):
-            by_key.setdefault(k, []).append(h)
+        keys = batch.column(key).to_numpy(zero_copy_only=False)
+        hashes = _hash64(batch.column(column))
+        order = np.argsort(keys, kind="stable")
         out_k, out_r = [], []
-        for k, hs in by_key.items():
+        i, n = 0, len(keys)
+        while i < n:  # one HLL per distinct key span — O(distinct keys)
+            j = i
+            u = keys[order[i]]
+            while j < n and keys[order[j]] == u:
+                j += 1
             hll = HyperLogLog(p)
-            hll.add_hashes(np.array(hs, dtype=np.uint64))
-            out_k.append(k)
+            hll.add_hashes(hashes[order[i:j]])
+            out_k.append(u)
             out_r.append(hll.registers.tobytes())
+            i = j
         return pa.table({key: pa.array(out_k),
                          "registers": pa.array(out_r, pa.binary())})
 

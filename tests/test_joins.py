@@ -46,6 +46,16 @@ class TestBroadcastJoin:
         rows = _sorted_rows(out.select(["k", "v"]), ["k"])
         assert rows == [{"k": 1, "v": 7}, {"k": 9, "v": None}]
 
+    def test_right_and_outer_refused(self):
+        """Per-batch right/full-outer joins would duplicate unmatched
+        small-side rows once per batch — the API must refuse them."""
+        big = pa.table({"k": pa.array([1], pa.int64())})
+        small = pa.table({"k2": pa.array([1], pa.int64())})
+        for how in ("right", "outer"):
+            with pytest.raises(ValueError, match="broadcast_join"):
+                broadcast_join(ray.data.from_arrow(big), small,
+                               left_key="k", right_key="k2", how=how)
+
 
 def _asof_fixture(n_left=500, n_right=200, n_keys=20, seed=7):
     rng = np.random.RandomState(seed)
@@ -198,3 +208,71 @@ class TestIntervalJoin:
             if lr["k"] == rr["k"] and rr["s"] <= lr["ts"] < rr["e"]
         )
         assert got == want
+
+    def test_partitioned_path_matches_broadcast(self):
+        """budget=0 forces the repartition-merge fallback (the fact⋈fact
+        path); results must equal the broadcast path's on the same
+        random data, including a right key of a DIFFERENT Arrow type
+        (int32 vs int64) to pin the union-schema cast."""
+        from doc_parser_ray.stages.joins import interval_join
+
+        rng = np.random.RandomState(23)
+        n_left, n_right = 300, 90
+        left = pa.table({
+            "id": pa.array(range(n_left), pa.int64()),
+            "k": pa.array(rng.randint(0, 12, n_left), pa.int64()),
+            "ts": pa.array(rng.randint(0, 800, n_left), pa.int64()),
+        })
+        starts = rng.randint(0, 800, n_right)
+        right = pa.table({
+            "k": pa.array(rng.randint(0, 14, n_right), pa.int32()),
+            "s": pa.array(starts, pa.int64()),
+            "e": pa.array(starts + rng.randint(1, 200, n_right),
+                          pa.int64()),
+            "v": pa.array(range(n_right), pa.int64()),
+        })
+
+        def run(budget):
+            out = collect_table(interval_join(
+                ray.data.from_arrow(left), ray.data.from_arrow(right),
+                left_key="k", left_ts="ts", right_key="k",
+                start_col="s", end_col="e", right_val="v",
+                broadcast_budget_rows=budget, num_partitions=5,
+            ))
+            return sorted((r["id"], r["v"]) for r in out.to_pylist())
+
+        want = sorted(
+            (lr["id"], rr["v"])
+            for lr in left.to_pylist() for rr in right.to_pylist()
+            if lr["k"] == rr["k"] and rr["s"] <= lr["ts"] < rr["e"]
+        )
+        assert run(10**9) == want
+        assert run(0) == want
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAsofJoinKeyTypeCast:
+    def test_partitioned_path_with_mismatched_key_types(self):
+        """int32 right key vs int64 left key through the repartition-
+        merge fallback: the union must not fail on schema mismatch."""
+        left = pa.table({
+            "event_id": pa.array([0, 1], pa.int64()),
+            "user_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array([100, 100], pa.int64()),
+        })
+        right = pa.table({
+            "o_custkey": pa.array([1, 2], pa.int32()),
+            "o_orderdate": pa.array([50, 60], pa.int64()),
+            "o_orderkey": pa.array([11, 22], pa.int64()),
+        })
+        out = asof_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            left_key="user_id", right_key="o_custkey",
+            left_ts="ts", right_ts="o_orderdate", right_val="o_orderkey",
+            broadcast_budget_rows=0,
+        )
+        rows = _sorted_rows(
+            collect_table(out).select(["event_id", "o_orderkey"]),
+            ["event_id"])
+        assert rows == [{"event_id": 0, "o_orderkey": 11},
+                        {"event_id": 1, "o_orderkey": 22}]

@@ -45,6 +45,36 @@ class TestHll:
         y.add_hashes(_hash64(["a", "b", "c"]))
         assert np.array_equal(x.registers, y.registers)
 
+    def test_rank_exact_when_remaining_bits_zero(self):
+        """hash=0 at p=8: rest is just the sentinel (2^7 < 2^11), which
+        the high-53-bit path would under-rank to 54; the exact rank is
+        the maximum, 64 - p + 1."""
+        hll = HyperLogLog(p=8)
+        hll.add_hashes(np.array([0], dtype=np.uint64))
+        assert hll.registers[0] == 64 - 8 + 1
+
+    def test_small_p_alpha_table_and_validation(self):
+        assert HyperLogLog(p=4).alpha == 0.673
+        assert HyperLogLog(p=5).alpha == 0.697
+        assert HyperLogLog(p=6).alpha == 0.709
+        for bad in (3, 17):
+            with pytest.raises(ValueError):
+                HyperLogLog(p=bad)
+
+    def test_error_bound_small_p(self):
+        """p=6 exercises the small-p alpha and the small-rest rank path
+        (any hash whose low 58 bits are < 2^5 lands there)."""
+        n = 50_000
+        hll = HyperLogLog(p=6)
+        hll.add_hashes(_hash64(range(n)))
+        est = hll.estimate()
+        # standard error 1.04/sqrt(64) = 13%; allow 4 sigma
+        assert abs(est - n) / n < 0.52, est
+
+    def test_arrow_column_and_pylist_hash_agree(self):
+        col = pa.chunked_array([pa.array([1, 2, 3], pa.int64())])
+        assert np.array_equal(_hash64(col), _hash64([1, 2, 3]))
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestDistributedSketch:
