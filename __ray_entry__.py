@@ -147,6 +147,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_transcripts_bpe": T.chunk_transcripts_bpe,
         # S10 lossless document-JSON re-load
         "doc_json_roundtrip": T.doc_json_roundtrip,
+        # P13 full: HWPX walker + GenOS hybrid chunker in-pipeline
+        "hwpx_chunks": T.hwpx_chunks,
         # ConfidenceReport per-conversation rollup
         "conv_confidence": T.conv_confidence,
         # metadata extraction (E5 deterministic normalizers)
@@ -267,11 +269,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "extract_roundtrip": """
             SELECT doc_id,
-                   CASE WHEN doc_id % 11 = 4
+                   CASE WHEN doc_id % 12 = 4
                         THEN 'text | k' || chr(10) || TRIM(text) || ' | x'
-                        WHEN doc_id % 11 = 9
+                        WHEN doc_id % 12 = 9
                         THEN 'Doc ' || doc_id || chr(10) || TRIM(text)
-                        WHEN doc_id % 11 = 10
+                        WHEN doc_id % 12 = 10
                         THEN regexp_replace(TRIM(text), '\s+', ' ', 'g')
                         ELSE TRIM(text) END AS extracted_text
             FROM documents ORDER BY doc_id

@@ -9,6 +9,7 @@ Result column names match the DuckDB oracles in ``__ray_entry__``.
 from __future__ import annotations
 
 import base64
+import json
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -622,13 +623,14 @@ def media_pipeline(sf_dir: str, n: int = 150) -> pa.Table:
 def extract_roundtrip(sf_dir: str) -> pa.Table:
     """SQL-verifiable extraction correctness: wrap each document's text
     into HTML / markdown / plain / PDF / CSV / AsciiDoc / DOCX / XLSX /
-    PPTX / JATS / USPTO (by doc_id % 11), run the real extraction stage, return
-    (doc_id, extracted_text). The DuckDB oracle knows the expected
-    extraction per wrapper (trim(text) for eight of them; header +
-    newline + text for CSV; title + newline + text for JATS), proving
-    all ten parser paths through the driver's value-hash gate."""
+    PPTX / JATS / USPTO / HWPX (by doc_id % 12), run the real extraction
+    stage, return (doc_id, extracted_text). The DuckDB oracle knows the
+    expected extraction per wrapper (trim(text) for nine of them; header
+    + newline + text for CSV; title + newline + text for JATS), proving
+    all twelve parser paths through the driver's value-hash gate."""
     from doc_parser_ray.sources.office_gen import (
         simple_docx,
+        simple_hwpx,
         simple_pptx,
         simple_xlsx,
     )
@@ -639,7 +641,7 @@ def extract_roundtrip(sf_dir: str) -> pa.Table:
         payloads, tools = [], []
         for i, t in zip(ids, texts):
             t = (t or "").strip()
-            m = i % 11
+            m = i % 12
             if m == 0:
                 # script/style boilerplate must vanish; no headings → all
                 # body, so the oracle is exactly trim(text)
@@ -685,7 +687,7 @@ def extract_roundtrip(sf_dir: str) -> pa.Table:
                     f"<body><p>{_xesc(t)}</p></body></article>"
                 )
                 tools.append("jats")
-            else:
+            elif m == 10:
                 from xml.sax.saxutils import escape as _xesc
 
                 payloads.append(
@@ -697,6 +699,9 @@ def extract_roundtrip(sf_dir: str) -> pa.Table:
                     "</description></us-patent-application>"
                 )
                 tools.append("uspto")
+            else:
+                payloads.append(base64.b64encode(simple_hwpx([t])).decode())
+                tools.append("hwpx")
         n = len(ids)
         return pa.table(
             {
@@ -723,4 +728,48 @@ def extract_roundtrip(sf_dir: str) -> pa.Table:
         )
 
     out = extracted.map_batches(project, batch_format="pyarrow")
+    return _collect(out).sort_by([("doc_id", "ascending")])
+
+
+# ------------------------------------------- GenOS HWPX chunk vectors
+
+
+def hwpx_chunks(sf_dir: str, max_tokens: int = 64) -> pa.Table:
+    """P13 end-to-end in-pipeline: wrap each document's text into a
+    synthetic HWPX container (numbered section heading + sentence
+    paragraphs), run the FULL HwpxDocumentBackend walker emulation
+    (functions/hwpx_doc.py) and the GenOS Hierarchical+Hybrid chunker
+    port (functions/genos_chunk.py), and emit per-document chunk-vector
+    summaries. Deterministic but driven by the calibrated MiniLM token
+    emulation → rows-only check; byte-level parity against the
+    reference's own committed HWPX baselines is pinned separately in
+    tests/test_hwpx_regression_parity.py."""
+    from doc_parser_ray.functions.genos_chunk import hwpx_chunk_vectors
+    from doc_parser_ray.sources.office_gen import simple_hwpx
+
+    def run(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        n_vec, n_char, n_head = [], [], []
+        for i, t in zip(ids, texts):
+            sents = [s.strip() for s in (t or "").split(". ") if s.strip()]
+            paras = [f"{i % 7 + 1}. Section {i}"] + sents
+            vecs = hwpx_chunk_vectors(simple_hwpx(paras),
+                                      max_tokens=max_tokens)
+            n_vec.append(len(vecs))
+            n_char.append(sum(v["n_char"] for v in vecs))
+            heads = 0
+            for v in vecs:
+                heads += sum(1 for bb in json.loads(v["chunk_bboxes"])
+                             if bb["type"] == "section_header")
+            n_head.append(heads)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_chunks": pa.array(n_vec, pa.int32()),
+            "total_chars": pa.array(n_char, pa.int64()),
+            "n_headings": pa.array(n_head, pa.int32()),
+        })
+
+    out = _docs(sf_dir).map_batches(run, batch_format="pyarrow",
+                                    batch_size=64)
     return _collect(out).sort_by([("doc_id", "ascending")])

@@ -170,3 +170,26 @@ def simple_pptx(texts: list[str]) -> bytes:
         )),
         "ppt/slides/slide1.xml": slide,
     })
+
+
+def simple_hwpx(paragraphs: list[str]) -> bytes:
+    """Minimal HWPX (Hancom OWPML) zip: one Contents/section0.xml with
+    one hp:p/hp:run/hp:t per paragraph. Text must be XML-escaped by us;
+    the walker reads hp:t text verbatim."""
+    from xml.sax.saxutils import escape
+
+    body = "".join(
+        f"<hp:p><hp:run><hp:t>{escape(p)}</hp:t></hp:run></hp:p>"
+        for p in paragraphs
+    )
+    section = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<hs:sec xmlns:hs="http://www.hancom.co.kr/hwpml/2011/section" '
+        'xmlns:hp="http://www.hancom.co.kr/hwpml/2011/paragraph">'
+        f"{body}</hs:sec>"
+    )
+    return _zip({
+        "mimetype": "application/hwp+zip",
+        "version.xml": '<?xml version="1.0" encoding="UTF-8"?><version/>',
+        "Contents/section0.xml": section,
+    })
