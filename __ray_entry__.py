@@ -269,11 +269,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "extract_roundtrip": """
             SELECT doc_id,
-                   CASE WHEN doc_id % 12 = 4
+                   CASE WHEN doc_id % 13 = 4
                         THEN 'text | k' || chr(10) || TRIM(text) || ' | x'
-                        WHEN doc_id % 12 = 9
+                        WHEN doc_id % 13 = 9
                         THEN 'Doc ' || doc_id || chr(10) || TRIM(text)
-                        WHEN doc_id % 12 = 10
+                        WHEN doc_id % 13 = 10
                         THEN regexp_replace(TRIM(text), '\s+', ' ', 'g')
                         ELSE TRIM(text) END AS extracted_text
             FROM documents ORDER BY doc_id

@@ -70,6 +70,10 @@ def extract_payload(text: str, tool: str = "") -> tuple[str, ParseResult]:
         from doc_parser_ray.functions.doc_json import extract_doc_json
 
         res = extract_doc_json(text)
+    elif fmt == "bok_json":
+        from doc_parser_ray.functions.bok_extract import extract_bok_json
+
+        res = extract_bok_json(text)
     elif fmt == "pdf":
         stripped = text.lstrip()
         if stripped.startswith("%PDF-"):

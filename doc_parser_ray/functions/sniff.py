@@ -34,7 +34,7 @@ _MD_RE = re.compile(
 
 VALID_TOOLS = {"html", "markdown", "text", "pdf", "csv", "asciidoc",
                "docx", "xlsx", "pptx", "hwpx", "jats", "uspto",
-               "doc_json"}
+               "doc_json", "bok_json"}
 
 # JATS needs positive evidence beyond an <article> tag: HTML5 pages use
 # <article> for ordinary content, so require a JATS DOCTYPE or a
@@ -71,6 +71,8 @@ def sniff_format(text: str, tool: str = "") -> str:
         return "office_zip"
     if stripped.startswith("{") and '"doc_parser_ray/items@1"' in head:
         return "doc_json"  # S10: lossless document-JSON re-load
+    if stripped.startswith("{") and '"body"' in head and '"contents"' in head:
+        return "bok_json"  # P15: BOK page/contents document JSON
     if stripped.startswith("PATN\n") or stripped == "PATN":
         return "uspto"  # APS grant text format
     if stripped.startswith("<?xml") or stripped.startswith("<!DOCTYPE"):

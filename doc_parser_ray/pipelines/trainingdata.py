@@ -623,11 +623,12 @@ def media_pipeline(sf_dir: str, n: int = 150) -> pa.Table:
 def extract_roundtrip(sf_dir: str) -> pa.Table:
     """SQL-verifiable extraction correctness: wrap each document's text
     into HTML / markdown / plain / PDF / CSV / AsciiDoc / DOCX / XLSX /
-    PPTX / JATS / USPTO / HWPX (by doc_id % 12), run the real extraction
-    stage, return (doc_id, extracted_text). The DuckDB oracle knows the
-    expected extraction per wrapper (trim(text) for nine of them; header
-    + newline + text for CSV; title + newline + text for JATS), proving
-    all twelve parser paths through the driver's value-hash gate."""
+    PPTX / JATS / USPTO / HWPX / BOK-JSON (by doc_id % 13), run the real
+    extraction stage, return (doc_id, extracted_text). The DuckDB oracle
+    knows the expected extraction per wrapper (trim(text) for ten of
+    them; header + newline + text for CSV; title + newline + text for
+    JATS), proving all thirteen parser paths through the driver's
+    value-hash gate."""
     from doc_parser_ray.sources.office_gen import (
         simple_docx,
         simple_hwpx,
@@ -641,7 +642,7 @@ def extract_roundtrip(sf_dir: str) -> pa.Table:
         payloads, tools = [], []
         for i, t in zip(ids, texts):
             t = (t or "").strip()
-            m = i % 12
+            m = i % 13
             if m == 0:
                 # script/style boilerplate must vanish; no headings → all
                 # body, so the oracle is exactly trim(text)
@@ -699,9 +700,15 @@ def extract_roundtrip(sf_dir: str) -> pa.Table:
                     "</description></us-patent-application>"
                 )
                 tools.append("uspto")
-            else:
+            elif m == 11:
                 payloads.append(base64.b64encode(simple_hwpx([t])).decode())
                 tools.append("hwpx")
+            else:
+                payloads.append(json.dumps({"body": [{
+                    "page": 1,
+                    "contents": [{"type": "text", "content": t}],
+                }]}))
+                tools.append("bok_json")
         n = len(ids)
         return pa.table(
             {
