@@ -256,10 +256,12 @@ class _Walker:
     MAX_LEVELS = 10
 
     def __init__(self, styles: _Styles, rels: dict[str, str],
-                 dedup_lines: bool = False):
+                 dedup_lines: bool = False, media=None):
         self.styles = styles
         self.rels = rels
         self.dedup_lines = dedup_lines
+        self.media = media or (lambda rel_id: None)
+        self._content_hashes: set[str] = set()
         self.items: list[Item] = []
         # parents slot values: None | "title" | "heading" | "group" |
         # ("list", group_id); keys 0..MAX (reference's range(len(parents))
@@ -299,12 +301,19 @@ class _Walker:
     # ------------------------------------------------------------- emit
 
     def _emit(self, item: Item) -> None:
-        if self.dedup_lines and item.text.strip():
-            for prev in reversed(self.items):
-                if prev.text.strip():
-                    if prev.text.strip() == item.text.strip():
-                        return  # genos adjacent-duplicate suppression
-                    break
+        # genos `_is_duplicate_content` (genos_msword_backend.py:
+        # 1222-1250): GLOBAL whole-document dedup of plain-text items by
+        # normalized (lowercased, whitespace-collapsed) content hash;
+        # texts under 5 chars are exempt. Applied only to paragraph text
+        # — headings, titles, list items and preserved tables are added
+        # without the check in the reference (:1770-1930 call sites).
+        if self.dedup_lines and item.label == TEXT:
+            t = item.text.strip()
+            if len(t) >= 5:
+                key = re.sub(r"\s+", " ", t.lower())
+                if key in self._content_hashes:
+                    return
+                self._content_hashes.add(key)
         self.items.append(item)
 
     # ------------------------------------------------------- paragraphs
@@ -740,6 +749,41 @@ class _Walker:
                 seen.add(key)
                 self.handle_text(p)
 
+    # ---------------------------------------------------------- images
+
+    # magic numbers PIL can actually open (genos_msword_backend.py
+    # :2260-2270 image_signatures, minus WMF/EMF — those fail PIL and,
+    # with Wand absent in production and here, emit nothing (:2327-2388
+    # only adds the placeholder inside the WAND_AVAILABLE branch))
+    _PIL_MAGICS = (b"\x89PNG", b"\xff\xd8\xff", b"GIF8", b"BM",
+                   b"RIFF", b"\x00\x00\x01\x00", b"II*\x00", b"MM\x00*")
+
+    def _any_decodable_image(self, blips) -> bool:
+        """genos image gate: resolve each blip's relationship to its
+        media bytes; emit a picture only when some blob passes
+        ``is_valid_image_format`` AND would open under PIL (:2220-2320).
+        XML/too-short/unknown blobs and WMF/EMF both end with nothing
+        added. Unresolvable relationships keep the placeholder (the
+        reference adds a picture when PIL opens external parts we cannot
+        see; a missing media part here means a synthetic/truncated file,
+        where dropping would diverge from the plain walker for no
+        reference-observable reason)."""
+        resolved_any = False
+        for blip in blips:
+            rel_id = (blip.get(f"{{{_R}}}embed")
+                      or blip.get(f"{{{_R}}}id")
+                      or blip.get(f"{{{_R}}}link"))
+            if not rel_id:
+                continue
+            data = self.media(rel_id)
+            if data is None:
+                continue
+            resolved_any = True
+            if len(data) >= 4 and not data.startswith((b"<?xm", b"<xml")) \
+                    and data.startswith(self._PIL_MAGICS):
+                return True
+        return not resolved_any
+
     # ------------------------------------------------------------- walk
 
     def walk_body(self, body) -> None:
@@ -762,7 +806,8 @@ class _Walker:
                 except Exception:
                     pass  # broken table: reference logs and skips
             elif blips:
-                self._emit(Item(label=PICTURE, text=""))
+                if not self.dedup_lines or self._any_decodable_image(blips):
+                    self._emit(Item(label=PICTURE, text=""))
                 if tag == "p" and el.find(f".//{_w('t')}") is not None:
                     self.handle_text(el)
             elif tag == "sdt":
@@ -794,7 +839,26 @@ def extract_docx(data: bytes, dedup_lines: bool = False) -> ParseResult:
         body = doc_root.find(_w("body"))
         if body is None:
             return ParseResult(items=[], status=STATUS_EMPTY)
-        walker = _Walker(styles, rels, dedup_lines=dedup_lines)
+
+        def media(rel_id: str) -> bytes | None:
+            """Resolve a blip relationship to its media-part bytes, the
+            genos ``owner_part.rels[rId].target_part.blob`` analog
+            (genos_msword_backend.py:2223-2230). Targets in the rels file
+            are relative to ``word/``."""
+            target = rels.get(rel_id)
+            if not target:
+                return None
+            for cand in (f"word/{target.lstrip('/')}",
+                         target.lstrip("/")):
+                if cand in names:
+                    try:
+                        return zf.read(cand)
+                    except Exception:
+                        return None
+            return None
+
+        walker = _Walker(styles, rels, dedup_lines=dedup_lines,
+                         media=media if dedup_lines else None)
         walker.walk_body(body)
         if not walker.items:
             return ParseResult(items=[], status=STATUS_EMPTY)

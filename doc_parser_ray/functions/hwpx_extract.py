@@ -95,8 +95,12 @@ class _HwpxWalker:
         self._group_seq += 1
         self._list_stack.append((self._group_seq, level))
         depth = len(self._list_stack)
+        # the reference adds the item as a plain PARAGRAPH inside the
+        # list group (hwpx_backend.py:152-161) — the bullet symbol stays
+        # embedded in the text and NO marker is prepended, so render
+        # verbatim (marker="") while keeping the list structure.
         self.items.append(Item(label=LIST_ITEM, text=txt, level=depth,
-                               marker="-", group=self._group_seq))
+                               marker="", group=self._group_seq))
         return True
 
     # ----------------------------------------------------------- tables

@@ -65,6 +65,57 @@ def simple_docx(paragraphs: list[str]) -> bytes:
     })
 
 
+def docx_with_image(
+    media: bytes | None,
+    paragraphs: tuple[str, ...] = ("before", "after"),
+    target: str = "media/image1.png",
+) -> bytes:
+    """A docx whose first paragraph carries a DrawingML blip referencing
+    ``rId9`` → ``word/<target>``; ``media=None`` omits the media part
+    (unresolvable relationship). Used to pin the genos image-validity
+    gate (picture placeholders only for PIL-openable blobs)."""
+    ns_extra = (
+        'xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/'
+        'relationships"'
+    )
+    pic = (
+        "<w:p><w:r><w:drawing>"
+        '<a:blip r:embed="rId9"/>'
+        "</w:drawing></w:r></w:p>"
+    )
+    body = pic + "".join(
+        f'<w:p><w:r><w:t xml:space="preserve">{escape(t)}</w:t></w:r></w:p>'
+        for t in paragraphs
+    )
+    doc = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f"<w:document {_W_NS} {ns_extra}><w:body>{body}</w:body>"
+        "</w:document>"
+    )
+    parts = {
+        "[Content_Types].xml": _CT.format(overrides=(
+            '<Override PartName="/word/document.xml" ContentType='
+            '"application/vnd.openxmlformats-officedocument.'
+            'wordprocessingml.document.main+xml"/>'
+        )),
+        "_rels/.rels": _RELS.format(rels=(
+            '<Relationship Id="rId1" Type="http://schemas.openxmlformats'
+            '.org/officeDocument/2006/relationships/officeDocument" '
+            'Target="word/document.xml"/>'
+        )),
+        "word/document.xml": doc,
+        "word/_rels/document.xml.rels": _RELS.format(rels=(
+            '<Relationship Id="rId9" Type="http://schemas.openxmlformats'
+            '.org/officeDocument/2006/relationships/image" '
+            f'Target="{target}"/>'
+        )),
+    }
+    if media is not None:
+        parts[f"word/{target}"] = media
+    return _zip(parts)
+
+
 def simple_xlsx(rows: list[list[str]]) -> bytes:
     """One sheet, inline-string cells, rows starting at A1."""
     def col_letter(c: int) -> str:

@@ -23,19 +23,106 @@ class TestDocx:
             ("text", "one"), ("text", "two & three"),
         ]
 
-    def test_dedup_lines_flag(self):
-        """genos-variant adjacent-duplicate suppression
-        (genon/preprocessor/tests/unit/test_no_duplicate_lines_docx.py
-        invariant: no adjacent duplicate non-empty lines)."""
+    def test_dedup_lines_global(self):
+        """genos `_is_duplicate_content` (genos_msword_backend.py:
+        1233-1250) is a GLOBAL whole-document content-hash dedup, not
+        adjacent-only: the third "same line" is suppressed even though
+        "other" sits between. Plain walker keeps everything. Also
+        satisfies the reference's pinned invariant
+        (tests/unit/test_no_duplicate_lines_docx.py): no adjacent
+        duplicate non-empty lines in the output."""
         data = simple_docx(["same line", "same line", "other", "same line"])
         plain = extract_docx(data)
         assert [i.text for i in plain.items] == [
             "same line", "same line", "other", "same line"]
         deduped = extract_docx(data, dedup_lines=True)
         texts = [i.text for i in deduped.items]
-        assert texts == ["same line", "other", "same line"]
+        assert texts == ["same line", "other"]
         for a, b in zip(texts, texts[1:]):
-            assert a != b
+            assert a.strip() != b.strip()
+
+    def test_dedup_short_texts_exempt(self):
+        """Texts under 5 chars skip the duplicate check
+        (genos_msword_backend.py:1237 `len(text.strip()) < 5`)."""
+        data = simple_docx(["abcd", "abcd", "abcde", "abcde"])
+        texts = [i.text for i in extract_docx(data, dedup_lines=True).items]
+        assert texts == ["abcd", "abcd", "abcde"]
+
+    def test_dedup_key_is_normalized(self):
+        """The content hash lowercases and collapses whitespace
+        (genos_msword_backend.py:1223-1231), so case/spacing variants
+        of the same line are duplicates."""
+        data = simple_docx(["Hello   World", "hello world", "HELLO\tWORLD"])
+        texts = [i.text for i in extract_docx(data, dedup_lines=True).items]
+        assert texts == ["Hello   World"]
+
+    def test_dedup_headings_exempt(self):
+        """The reference calls `_is_duplicate_content` only on the
+        plain-paragraph branches (genos_msword_backend.py:1896,1929);
+        headings are added unconditionally."""
+        base = simple_docx(["Chapter", "Chapter", "body text", "body text"])
+        import zipfile
+        from io import BytesIO
+
+        zin = zipfile.ZipFile(BytesIO(base))
+        doc = zin.read("word/document.xml").decode()
+        # style the two "Chapter" paragraphs as Heading1
+        doc = doc.replace(
+            "<w:p><w:r><w:t xml:space=\"preserve\">Chapter</w:t>",
+            "<w:p><w:pPr><w:pStyle w:val=\"Heading1\"/></w:pPr>"
+            "<w:r><w:t xml:space=\"preserve\">Chapter</w:t>")
+        parts = {n: zin.read(n) for n in zin.namelist()}
+        parts["word/document.xml"] = doc.encode()
+        from doc_parser_ray.sources.office_gen import _zip
+
+        res = extract_docx(_zip(parts), dedup_lines=True)
+        labeled = [(i.label, i.text) for i in res.items]
+        assert labeled == [
+            ("section_header", "Chapter"), ("section_header", "Chapter"),
+            ("text", "body text"),
+        ]
+
+    def test_image_gate_png_kept_wmf_dropped(self):
+        """genos emits a picture only when some blip blob opens under
+        PIL (genos_msword_backend.py:2220-2320): PNG passes, WMF/EMF
+        fail PIL and (Wand absent) nothing is added. The plain walker
+        keeps the placeholder unconditionally."""
+        from doc_parser_ray.sources.office_gen import docx_with_image
+
+        png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 16
+        wmf = b"\xd7\xcd\xc6\x9a" + b"\x00" * 16
+        png_doc = docx_with_image(png)
+        wmf_doc = docx_with_image(wmf, target="media/image1.wmf")
+
+        png_items = extract_docx(png_doc, dedup_lines=True).items
+        assert [i.label for i in png_items] == ["picture", "text", "text"]
+
+        wmf_items = extract_docx(wmf_doc, dedup_lines=True).items
+        assert [i.label for i in wmf_items] == ["text", "text"]
+
+        # plain walker: placeholder regardless of decodability
+        assert [i.label for i in extract_docx(wmf_doc).items] == [
+            "picture", "text", "text"]
+
+    def test_image_gate_unresolvable_rel_keeps_placeholder(self):
+        """A blip whose relationship has no media part in the zip keeps
+        the placeholder (documented divergence-avoidance: the reference
+        only drops blobs it read and PIL rejected)."""
+        from doc_parser_ray.sources.office_gen import docx_with_image
+
+        doc = docx_with_image(None)
+        items = extract_docx(doc, dedup_lines=True).items
+        assert [i.label for i in items] == ["picture", "text", "text"]
+
+    def test_image_gate_xml_blob_dropped(self):
+        """Blobs starting with an XML prolog are rejected by genos
+        `is_valid_image_format` before PIL is even tried."""
+        from doc_parser_ray.sources.office_gen import docx_with_image
+
+        doc = docx_with_image(b"<?xml version=\"1.0\"?><svg/>",
+                              target="media/image1.svg")
+        items = extract_docx(doc, dedup_lines=True).items
+        assert [i.label for i in items] == ["text", "text"]
 
     def test_garbage_is_parse_error(self):
         assert extract_docx(b"not a zip").status == "parse_error"
