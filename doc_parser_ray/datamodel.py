@@ -42,6 +42,46 @@ STATUS_OK = "ok"
 STATUS_EMPTY = "empty"
 STATUS_PARSE_ERROR = "parse_error"
 STATUS_UNSUPPORTED = "unsupported"
+# input-limit rejection: the reference marks the InputDocument invalid
+# when filesize/page-count limits are exceeded
+# (docling/datamodel/document.py:133-169) and the converter reports
+# ConversionStatus.FAILURE for invalid docs
+# (docling/document_converter.py:421-430).
+STATUS_FAILURE = "failure"
+
+_MAXSIZE = 2**63 - 1
+
+
+@dataclass(frozen=True)
+class DocumentLimits:
+    """Input gates applied BEFORE (size) / instead of (pages) parsing —
+    the analog of docling DocumentLimits
+    (docling/datamodel/settings.py:22-25) enforced by InputDocument
+    (docling/datamodel/document.py:133-169):
+
+    - ``max_file_size``: payload byte size (decoded size for
+      base64-carried formats — the reference gates on the on-disk file
+      size, which is the decoded blob here);
+    - ``max_num_pages`` / ``page_range``: paginated formats (PDF) only;
+      a doc with ``page_count > max_num_pages`` or
+      ``page_count < page_range[0]`` is rejected after the cheap page
+      census, without text extraction — mirroring the reference's
+      post-backend-init, pre-pipeline check.
+
+    Defaults are unlimited, matching the reference.
+    """
+
+    max_file_size: int = _MAXSIZE
+    max_num_pages: int = _MAXSIZE
+    page_range: tuple[int, int] = (1, _MAXSIZE)
+
+    @property
+    def pages_active(self) -> bool:
+        return self.max_num_pages < _MAXSIZE or self.page_range[0] > 1
+
+    @property
+    def active(self) -> bool:
+        return self.max_file_size < _MAXSIZE or self.pages_active
 
 
 @dataclass

@@ -15,11 +15,15 @@ streaming executor pipelines them.
 
 from __future__ import annotations
 
+import re
+
 import pyarrow as pa
 
 from doc_parser_ray.datamodel import (
     EXTRACTED_SCHEMA,
+    STATUS_FAILURE,
     STATUS_OK,
+    DocumentLimits,
     hist_json,
     label_histogram,
     render_items,
@@ -27,8 +31,59 @@ from doc_parser_ray.datamodel import (
 )
 from doc_parser_ray.functions.extract import content_hash, extract_payload
 
+# tools whose payload is a base64-encoded binary blob — the on-disk file
+# size the reference gates on (document.py:133-169) is the DECODED size
+_B64_TOOLS = frozenset({"pdf", "docx", "xlsx", "pptx", "hwpx", "office_zip"})
 
-def extract_batch(batch: pa.Table) -> pa.Table:
+# page objects in a raw PDF: "/Type /Page" but not "/Type /Pages"
+# (the cheap census standing in for backend.page_count(), which the
+# reference runs before the pipeline — document.py:160-168)
+_PAGE_OBJ_RE = re.compile(rb"/Type\s*/Page(?![a-zA-Z])")
+
+
+def _payload_size(text: str, tool: str) -> int:
+    """Exact byte size of the payload as a file: utf-8 length for text
+    formats, decoded-blob length for base64-carried ones (without
+    decoding: 3 bytes per 4 chars minus padding)."""
+    if tool in _B64_TOOLS:
+        s = text.strip()
+        if s and len(s) % 4 == 0:
+            pad = 2 if s.endswith("==") else (1 if s.endswith("=") else 0)
+            return len(s) // 4 * 3 - pad
+    return len(text.encode("utf-8", "surrogatepass"))
+
+
+def _gate(text: str, tool: str, limits: DocumentLimits) -> str:
+    """'' if the payload passes the limits, else the failure reason.
+    Size is checked before any parsing; the PDF page census decodes the
+    blob (cheap, no text extraction) only when a page gate is set."""
+    size = _payload_size(text, tool)
+    if size > limits.max_file_size:
+        return f"file size {size} exceeds max_file_size {limits.max_file_size}"
+    if limits.pages_active and tool == "pdf":
+        stripped = text.lstrip()
+        if stripped.startswith("%PDF-"):
+            data = stripped.encode("latin-1", "replace")
+        else:
+            import base64
+            import binascii
+
+            try:
+                data = base64.b64decode(stripped, validate=True)
+            except (binascii.Error, ValueError):
+                return ""  # not decodable: let the parser report it
+        n_pages = len(_PAGE_OBJ_RE.findall(data))
+        if n_pages > limits.max_num_pages:
+            return (f"page count {n_pages} exceeds max_num_pages "
+                    f"{limits.max_num_pages}")
+        if n_pages < limits.page_range[0]:
+            return (f"page count {n_pages} below page_range start "
+                    f"{limits.page_range[0]}")
+    return ""
+
+
+def extract_batch(batch: pa.Table,
+                  limits: DocumentLimits | None = None) -> pa.Table:
     """pyarrow batch of TRANSCRIPT_SCHEMA rows → EXTRACTED_SCHEMA rows."""
     texts = batch.column("text").to_pylist()
     tools = batch.column("tool").to_pylist()
@@ -45,9 +100,24 @@ def extract_batch(batch: pa.Table) -> pa.Table:
     n_in: list[int] = [0] * n
     n_out: list[int] = [0] * n
 
+    gate = limits if (limits is not None and limits.active) else None
     for i in range(n):
         text = texts[i] or ""
-        fmt, res = extract_payload(text, tools[i] or "")
+        tool = tools[i] or ""
+        if gate is not None:
+            reason = _gate(text, tool, gate)
+            if reason:
+                # reference shape: invalid InputDocument → FAILURE
+                # result, no parsing (document_converter.py:421-430)
+                fmts[i] = tool
+                hashes[i] = content_hash(text)
+                statuses[i] = STATUS_FAILURE
+                errors[i] = reason
+                n_in[i] = len(text)
+                out_spans[i] = "[]"
+                out_hists[i] = "{}"
+                continue
+        fmt, res = extract_payload(text, tool)
         fmts[i] = fmt
         hashes[i] = content_hash(text)
         statuses[i] = res.status
@@ -86,15 +156,24 @@ def extract_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def apply_extract(ds, *, batch_size: int = 256):
+def apply_extract(ds, *, batch_size: int = 256,
+                  limits: DocumentLimits | None = None):
     """Attach the extraction stage to a Dataset.
 
     ``batch_size`` is modest because a single turn can carry a multi-KB
     (HTML) to multi-MB (base64 PDF) payload; batches are bounded by rows
     here and by ``DataContext.target_max_block_size`` upstream.
+
+    ``limits`` (optional) applies the reference's DocumentLimits gates —
+    oversized / over-paginated payloads come out as ``status="failure"``
+    rows without being parsed.
     """
+    import functools
+
+    fn = (functools.partial(extract_batch, limits=limits)
+          if limits is not None else extract_batch)
     return ds.map_batches(
-        extract_batch,
+        fn,
         batch_format="pyarrow",
         batch_size=batch_size,
         zero_copy_batch=True,
