@@ -83,10 +83,19 @@ def _gate(text: str, tool: str, limits: DocumentLimits) -> str:
 
 
 def extract_batch(batch: pa.Table,
-                  limits: DocumentLimits | None = None) -> pa.Table:
-    """pyarrow batch of TRANSCRIPT_SCHEMA rows → EXTRACTED_SCHEMA rows."""
+                  limits: DocumentLimits | None = None,
+                  enrich_toc: bool = False) -> pa.Table:
+    """pyarrow batch of TRANSCRIPT_SCHEMA rows → EXTRACTED_SCHEMA rows.
+
+    ``enrich_toc`` (default OFF, like the reference's
+    ``do_toc_enrichment``) applies the deterministic injected-TOC
+    relabeling (functions/toc_enrich.py) between parse and render when
+    the batch carries a non-empty ``toc`` column for the row.
+    """
     texts = batch.column("text").to_pylist()
     tools = batch.column("tool").to_pylist()
+    tocs = (batch.column("toc").to_pylist()
+            if enrich_toc and "toc" in batch.column_names else None)
 
     n = len(texts)
     fmts: list[str] = [""] * n
@@ -124,6 +133,14 @@ def extract_batch(batch: pa.Table,
         errors[i] = res.error
         n_in[i] = len(text)
         if res.status == STATUS_OK:
+            if tocs is not None and tocs[i]:
+                from doc_parser_ray.functions.toc_enrich import (
+                    apply_toc_to_items,
+                    extract_toc_block,
+                )
+
+                res.items, _ = apply_toc_to_items(
+                    res.items, extract_toc_block(tocs[i]))
             extracted, spans = render_items(res.items)
             out_texts[i] = extracted
             out_spans[i] = spans_json(spans)
