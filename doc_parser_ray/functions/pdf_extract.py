@@ -40,6 +40,7 @@ from doc_parser_ray.datamodel import (
     Item,
     ParseResult,
 )
+from doc_parser_ray.functions import layout_post
 from doc_parser_ray.functions.sanitize import sanitize_text
 
 
@@ -336,14 +337,59 @@ def _xy_cut(cells: list[TextCell], min_gutter: float, para_gap: float) -> list[l
 
 
 def cells_to_items(cells: list[TextCell]) -> list[Item]:
-    """Row-repair → XY-cut blocks → ordered PARAGRAPH items."""
+    """Row-repair → XY-cut blocks → M4 cluster cleanup → PARAGRAPH items.
+
+    The XY-cut blocks are fed through the ported LayoutPostprocessor
+    (functions/layout_post.py, from the reference's
+    docling/utils/layout_postprocessor.py) as TEXT proposals at confidence
+    1.0 with sort_mode="input": on clean pages the cleanup is an identity
+    pass (disjoint hull bboxes, every cell assigned), while overlapping or
+    degenerate blocks get the reference's Union-Find dedup and orphan-cell
+    promotion instead of silently duplicating text.
+    """
     if not cells:
         return []
     merged = merge_horizontal_cells(cells)
     med_h = sorted(c.height for c in merged)[len(merged) // 2]
     blocks = _xy_cut(merged, min_gutter=med_h * 2.0, para_gap=med_h * 0.75)
+
+    # Index cells in XY-cut emission order so layout_post's min-cell-index
+    # ("id") ordering inside special clusters agrees with reading order.
+    lcells: list[layout_post.LCell] = []
+    clusters: list[layout_post.Cluster] = []
+    cell_map: dict[int, TextCell] = {}
+    idx = 0
+    for ci, block in enumerate(blocks):
+        cluster_cells = []
+        for c in block:
+            lc = layout_post.LCell(
+                index=idx, text=c.text, bbox=layout_post.BBox(c.l, c.t, c.r, c.b)
+            )
+            cell_map[idx] = c
+            lcells.append(lc)
+            cluster_cells.append(lc)
+            idx += 1
+        hull = layout_post.BBox(
+            l=min(c.l for c in block),
+            t=min(c.t for c in block),
+            r=max(c.r for c in block),
+            b=max(c.b for c in block),
+        )
+        clusters.append(
+            layout_post.Cluster(
+                id=ci, label=layout_post.TEXT, bbox=hull, cells=cluster_cells
+            )
+        )
+    page_w = max((c.r for c in merged), default=612.0)
+    page_h = max((c.b for c in merged), default=792.0)
+    post = layout_post.LayoutPostprocessor(
+        lcells, clusters, page_width=page_w, page_height=page_h, sort_mode="input"
+    )
+    final_clusters, _ = post.postprocess()
+
     items: list[Item] = []
-    for block in blocks:
+    for cluster in final_clusters:
+        block = [cell_map[c.index] for c in cluster.cells]
         lines = [
             " ".join(c.text for c in sorted(row, key=lambda c: c.l)).strip()
             for row in group_rows(sorted(block, key=lambda c: (c.t, c.l)))
