@@ -103,28 +103,53 @@ def run_headline(corpus: str, num_cpus: int) -> dict:
     }
 
 
-def run_queries(sf_dir: str) -> dict[str, float]:
+TRACKED_QUERIES = [
+    "q1_pricing_summary", "q3_top_orders", "q_orders_monthly",
+    "q_part_brand_topk", "q_sessionize", "q_asof_join", "q_interval_join",
+    "q_sliding_window", "q_value_percentiles",
+    "extract_roundtrip", "dedup_exact", "dedup_minhash",
+    "dedup_simhash", "dedup_ngram",
+    "text_quality", "knn_cosine", "media_decode", "media_pipeline",
+    "chunk_transcripts", "training_corpus",
+]
+
+
+def time_query(name: str, sf_dir: str) -> float:
     import __ray_entry__ as E
 
     import ray.data as rd
 
-    names = [
-        "q1_pricing_summary", "q3_top_orders", "q_orders_monthly",
-        "q_part_brand_topk", "q_sessionize", "q_asof_join", "q_interval_join",
-        "q_sliding_window", "q_value_percentiles",
-        "extract_roundtrip", "dedup_exact", "dedup_minhash",
-        "dedup_simhash", "dedup_ngram",
-        "text_quality", "knn_cosine", "media_decode", "media_pipeline",
-        "chunk_transcripts", "training_corpus",
-    ]
-    qs = E.queries()
+    fn = E.queries()[name]
+    t0 = time.perf_counter()
+    res = fn(sf_dir)
+    if isinstance(res, rd.Dataset):
+        res.count()
+    return round(time.perf_counter() - t0, 3)
+
+
+def run_queries(sf_dir: str) -> dict[str, float]:
+    return {name: time_query(name, sf_dir) for name in TRACKED_QUERIES}
+
+
+def run_queries_isolated(sf_dir: str, num_cpus: int) -> dict[str, float]:
+    """One fresh subprocess + Ray session per query (the BASELINE.md §4
+    spot-check methodology, persisted): in-suite times on this shared box
+    are hostage to ambient load and to cross-query session pollution, so
+    the per-round record carries both series."""
     times: dict[str, float] = {}
-    for name in names:
-        t0 = time.perf_counter()
-        res = qs[name](sf_dir)
-        if isinstance(res, rd.Dataset):
-            res.count()
-        times[name] = round(time.perf_counter() - t0, 3)
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(num_cpus))
+    here = os.path.dirname(os.path.abspath(__file__))
+    for name in TRACKED_QUERIES:
+        out = subprocess.run(
+            [sys.executable, __file__, "--one", name, "--sf-dir", sf_dir],
+            env=env, capture_output=True, text=True, cwd=here,
+        )
+        lines = [ln for ln in out.stdout.strip().splitlines()
+                 if ln.startswith("{")]
+        if lines:
+            times[name] = json.loads(lines[-1])["sec"]
+        else:  # keep the record whole even if one arm dies
+            times[name] = -1.0
     return times
 
 
@@ -132,6 +157,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--headline-only", action="store_true")
+    ap.add_argument("--one", metavar="QUERY",
+                    help="time one query in this process's own Ray session")
+    ap.add_argument("--no-isolated", action="store_true",
+                    help="skip the per-query isolated re-runs")
     # corpus multiplier: the scaling criterion needs compute >> fixed
     # latency (sort barriers, driver aggregates), so --scaling uses a
     # larger corpus than the per-round wall-time bench
@@ -142,6 +171,20 @@ def main() -> None:
     args = ap.parse_args()
 
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if args.one:
+        import ray
+
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 log_to_driver=False)
+        # spin up workers outside the timed window
+        import ray.data
+
+        ray.data.range(1000).map_batches(lambda b: b).count()
+        sec = time_query(args.one, args.sf_dir)
+        print(json.dumps({"name": args.one, "sec": sec}))
+        ray.shutdown()
+        return
 
     if args.scaling:
         # Fresh process per parallelism level, same cached input.
@@ -252,7 +295,7 @@ def main() -> None:
     qtimes = run_queries(args.sf_dir)
     total = round(head["sec"] + sum(qtimes.values()), 2)
     queries = {"extract_transcripts_headline": round(head["sec"], 2), **qtimes}
-    print(json.dumps({
+    record = {
         "metric": "bench total wall time (headline extraction + operator suite)",
         "value": total,
         "unit": "sec",
@@ -262,8 +305,15 @@ def main() -> None:
         "turns_per_sec": round(head["turns_per_sec"], 1),
         "headline_rows": head["rows"],
         "boilerplate_removal_ratio": round(head["boilerplate_removal_ratio"], 4),
-    }))
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
+    }
     ray.shutdown()
+    if not args.no_isolated:
+        iso = run_queries_isolated(args.sf_dir, num_cpus)
+        record["queries_isolated"] = iso
+        record["isolated_total"] = round(sum(t for t in iso.values() if t > 0), 2)
+        record["loadavg_after"] = [round(x, 2) for x in os.getloadavg()]
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
