@@ -4,21 +4,35 @@ pages, hit rectangles normalized to page units and merged with the
 overlap-tolerance rule (genon/preprocessor/src/preprocessor.py:266-338
 + genos_utils.py:114-151 ``merge_overlapping_bboxes``).
 
-The reference uses ``fitz_page.search_for(chunk_text)``; this engine's
-own content-stream parser supplies positioned text cells instead, so
-matching is at CELL granularity (a cell participates when its text
-occurs in the chunk) — documented approximation: per-line rectangles
-rather than per-substring, which the merge step collapses to the same
-block rectangles for contiguous text.
+The reference uses ``fitz_page.search_for(chunk_text)``; this module
+emulates that search over the engine's own positioned text cells:
+
+- page text is reconstructed line by line (one space between cells on a
+  line, line breaks searchable as whitespace — fitz finds phrases that
+  span lines), with a trailing line-end hyphen joined to the next line
+  (fitz's default TEXT_DEHYPHENATE behavior);
+- the needle matches case-insensitively with any whitespace run in the
+  page standing in for a single space in the needle;
+- every hit yields ONE rectangle per line portion, horizontally clipped
+  to the matched characters (x interpolated linearly inside a cell —
+  the one remaining approximation, since the content-stream parser
+  does not keep per-glyph advances).
+
+If the exact search finds nothing (chunk text can drift from page text
+through sanitize_text), the previous CELL-granularity pass — a cell
+participates when its text occurs in the chunk — is the fallback, so
+provenance never silently vanishes for extracted chunks.
 """
 
 from __future__ import annotations
 
 import json
+import re
 
 from doc_parser_ray.functions.pdf_extract import (
     _cells_from_content,
     _extract_streams,
+    group_rows,
     merge_horizontal_cells,
 )
 
@@ -75,16 +89,87 @@ def merge_overlapping_bboxes(bboxes: list[dict], x_tolerance: float = 1,
     return bboxes
 
 
+class _PageChars:
+    """Per-page searchable character stream with x-interpolated rects.
+
+    Each entry is ``(ch, line_id, x0, x1)``; separator whitespace (cell
+    gaps, line breaks) carries ``line_id = -1`` and contributes no rect.
+    """
+
+    def __init__(self, cells) -> None:
+        self.chars: list[tuple[str, int, float, float]] = []
+        self.line_bounds: list[tuple[float, float]] = []  # (t, b) per line
+        lines = [
+            sorted(row, key=lambda c: c.l)
+            for row in group_rows(sorted(cells, key=lambda c: (c.t, c.l)))
+        ]
+        for li, line in enumerate(lines):
+            self.line_bounds.append(
+                (min(c.t for c in line), max(c.b for c in line))
+            )
+            if li > 0:
+                self._join_line_break()
+            for ci, cell in enumerate(line):
+                if ci > 0:
+                    self.chars.append((" ", -1, 0.0, 0.0))
+                n = len(cell.text)
+                if n == 0:
+                    continue
+                w = (cell.r - cell.l) / n
+                for k, ch in enumerate(cell.text):
+                    self.chars.append(
+                        (ch, li, cell.l + k * w, cell.l + (k + 1) * w)
+                    )
+
+    def _join_line_break(self) -> None:
+        # fitz TEXT_DEHYPHENATE default: a line-end hyphen joins the two
+        # line fragments into one searchable word (hyphen dropped)
+        if self.chars and self.chars[-1][0] == "-":
+            self.chars.pop()
+        else:
+            self.chars.append((" ", -1, 0.0, 0.0))
+
+    def text(self) -> str:
+        return "".join(c[0] for c in self.chars)
+
+    def search(self, needle: str) -> list[tuple[int, float, float, float, float]]:
+        """All non-overlapping hits as per-line-portion raw rectangles
+        ``(line_id, l, t, r, b)`` — the search_for contract."""
+        tokens = needle.split()
+        if not tokens:
+            return []
+        pattern = re.compile(
+            r"\s+".join(re.escape(tok) for tok in tokens), re.IGNORECASE
+        )
+        rects: list[tuple[int, float, float, float, float]] = []
+        for m in pattern.finditer(self.text()):
+            by_line: dict[int, tuple[float, float]] = {}
+            for ch, li, x0, x1 in self.chars[m.start():m.end()]:
+                if li < 0:
+                    continue
+                cur = by_line.get(li)
+                by_line[li] = (
+                    (x0, x1) if cur is None
+                    else (min(cur[0], x0), max(cur[1], x1))
+                )
+            for li in sorted(by_line):
+                x0, x1 = by_line[li]
+                t, b = self.line_bounds[li]
+                rects.append((li, x0, t, x1, b))
+        return rects
+
+
 def pdf_chunk_bboxes(data: bytes, chunk_text: str,
                      page_width: float = 612.0,
                      page_height: float = 792.0) -> list[dict]:
-    """Normalized, merged rectangles of the cells whose text occurs in
-    ``chunk_text`` — one search pass over the engine's own positioned
-    cells, page-indexed by content stream order."""
+    """Normalized, merged hit rectangles of ``chunk_text`` searched in
+    the document's pages (content-stream order), per the search_for
+    emulation above."""
     if not data or not chunk_text or not chunk_text.strip():
         return []
     needle = " ".join(chunk_text.split())
     boxes: list[dict] = []
+    fallback: list[dict] = []
     page_no = 0
     for content in _extract_streams(data):
         if b"BT" not in content:
@@ -92,21 +177,38 @@ def pdf_chunk_bboxes(data: bytes, chunk_text: str,
         page_no += 1
         cells = merge_horizontal_cells(
             _cells_from_content(content, page_height))
-        for cell in cells:
-            cell_text = " ".join(cell.text.split())
-            if cell_text and cell_text in needle:
-                boxes.append({
-                    "page": page_no,
-                    "type": "text",
-                    "bbox": {
-                        "l": cell.l / page_width,
-                        "t": cell.t / page_height,
-                        "r": cell.r / page_width,
-                        "b": cell.b / page_height,
-                    },
-                })
+        if not cells:
+            continue
+        page = _PageChars(cells)
+        for _, l, t, r, b in page.search(needle):
+            boxes.append({
+                "page": page_no,
+                "type": "text",
+                "bbox": {
+                    "l": l / page_width,
+                    "t": t / page_height,
+                    "r": r / page_width,
+                    "b": b / page_height,
+                },
+            })
+        if not boxes:
+            # cell-granularity fallback (pre-exact-search behavior)
+            for cell in cells:
+                cell_text = " ".join(cell.text.split())
+                if cell_text and cell_text in needle:
+                    fallback.append({
+                        "page": page_no,
+                        "type": "text",
+                        "bbox": {
+                            "l": cell.l / page_width,
+                            "t": cell.t / page_height,
+                            "r": cell.r / page_width,
+                            "b": cell.b / page_height,
+                        },
+                    })
     return merge_overlapping_bboxes(
-        boxes, x_tolerance=1 / page_width, y_tolerance=1 / page_height
+        boxes or fallback,
+        x_tolerance=1 / page_width, y_tolerance=1 / page_height
     )
 
 

@@ -6,7 +6,7 @@ from doc_parser_ray.functions.pdf_bbox import (
     pdf_chunk_bboxes,
 )
 from doc_parser_ray.functions.pdf_extract import extract_pdf
-from doc_parser_ray.sources.pdf_gen import simple_text_pdf
+from doc_parser_ray.sources.pdf_gen import make_pdf, simple_text_pdf
 
 
 def _box(page, l, t, r, b, typ="text"):
@@ -71,3 +71,54 @@ class TestBackmatch:
         res = extract_pdf(pdf)
         s = chunk_bboxes_json(pdf, res.items[0].text)
         assert s.startswith('[{"page":1,"type":"text"')
+
+
+class TestSearchForEmulation:
+    """Exact fitz-search_for semantics: substring rects, line spanning,
+    case folding, dehyphenation, and the cell-granularity fallback."""
+
+    def test_midline_substring_rect_is_clipped(self):
+        pdf = make_pdf([[(100, 700, 12, "alpha beta gamma delta")]])
+        full = pdf_chunk_bboxes(pdf, "alpha beta gamma delta")
+        sub = pdf_chunk_bboxes(pdf, "beta gamma")
+        assert len(full) == 1 and len(sub) == 1
+        fb, sb = full[0]["bbox"], sub[0]["bbox"]
+        assert fb["l"] < sb["l"] and sb["r"] < fb["r"]
+        assert fb["t"] == sb["t"] and fb["b"] == sb["b"]
+
+    def test_match_spanning_lines_gives_rect_per_line(self):
+        pdf = make_pdf([[(100, 700, 12, "first line words here"),
+                         (100, 684, 12, "second line words too")]])
+        rects = pdf_chunk_bboxes(pdf, "words here second line")
+        # one rect per line portion; far enough apart not to merge? they
+        # are adjacent lines -> merge may union them; check pre-merge via
+        # vertical extent instead: union must span both lines
+        top = min(r["bbox"]["t"] for r in rects)
+        bot = max(r["bbox"]["b"] for r in rects)
+        one_line = pdf_chunk_bboxes(pdf, "first line")[0]["bbox"]
+        assert bot - top > (one_line["b"] - one_line["t"]) * 1.5
+
+    def test_case_insensitive(self):
+        pdf = make_pdf([[(100, 700, 12, "Alpha Beta Gamma")]])
+        assert pdf_chunk_bboxes(pdf, "alpha BETA gamma")
+
+    def test_dehyphenation_joins_line_break(self):
+        pdf = make_pdf([[(100, 700, 12, "this is an exam-"),
+                         (100, 684, 12, "ple of wrapping")]])
+        rects = pdf_chunk_bboxes(pdf, "example of wrapping")
+        assert rects
+        # the hit covers both lines
+        top = min(r["bbox"]["t"] for r in rects)
+        bot = max(r["bbox"]["b"] for r in rects)
+        assert bot - top > 16 / 792.0
+
+    def test_multiple_occurrences_all_found(self):
+        pdf = make_pdf([[(100, 700, 12, "needle in the hay"),
+                         (100, 300, 12, "another needle in the hay")]])
+        rects = pdf_chunk_bboxes(pdf, "needle in the hay")
+        assert len(rects) == 2  # far apart, not merged
+
+    def test_fallback_when_needle_superset_of_page(self):
+        pdf = make_pdf([[(100, 700, 12, "alpha beta gamma")]])
+        rects = pdf_chunk_bboxes(pdf, "prefix alpha beta gamma suffix")
+        assert len(rects) == 1  # exact search misses; cell fallback hits
