@@ -688,13 +688,29 @@ def _worker_planes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return _PLANES_CACHE[key]
 
 
+def _emb_matrix(col: pa.ChunkedArray | pa.Array, dim: int) -> np.ndarray:
+    """(n, dim) float32 view of a list<float> column — zero-copy off the
+    flattened values when lengths are uniform (they are for embedding
+    columns), Python fallback otherwise."""
+    try:
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        flat = arr.values if pa.types.is_fixed_size_list(arr.type) else arr.flatten()
+        mat = flat.to_numpy(zero_copy_only=False)
+        if mat.size == len(arr) * dim:
+            return np.ascontiguousarray(
+                mat.reshape(len(arr), dim), dtype=np.float32)
+    except (pa.ArrowInvalid, ValueError, AttributeError):
+        pass
+    return np.asarray(col.to_pylist(), dtype=np.float32)
+
+
 def _embedding_bucket_batch(batch: pa.Table, dim: int,
                             n_planes: int) -> pa.Table:
     planes = _worker_planes(dim, n_planes)
-    emb = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float32)
+    emb = _emb_matrix(batch.column("embedding"), dim)
     signs = (emb @ planes) >= 0
-    keys = ["".join("1" if s else "0" for s in row) for row in signs]
-    return batch.append_column("bucket_key", pa.array(keys, pa.string()))
+    keys = signs @ (1 << np.arange(n_planes, dtype=np.int64))
+    return batch.append_column("bucket_key", pa.array(keys, pa.int64()))
 
 
 def embedding_dedup_pairs(ds, *, id_col: str = "vec_id", dim: int = 64,
@@ -713,24 +729,22 @@ def embedding_dedup_pairs(ds, *, id_col: str = "vec_id", dim: int = 64,
             return pa.table({"left_id": pa.array([], id_type),
                              "right_id": pa.array([], id_type),
                              "cosine": pa.array([], pa.float64())})
-        ids = group.column(id_col).to_pylist()
-        emb = np.asarray(group.column("embedding").to_pylist(), dtype=np.float32)
+        ids = np.asarray(group.column(id_col).to_pylist())
+        emb = _emb_matrix(group.column("embedding"), dim)
         norms = np.linalg.norm(emb, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         unit = emb / norms
         sims = unit @ unit.T
-        left, right, score = [], [], []
-        n = len(ids)
-        for i in range(n):
-            for j in range(i + 1, n):
-                if sims[i, j] >= threshold and ids[i] != ids[j]:
-                    a, b = sorted((ids[i], ids[j]))
-                    left.append(a)
-                    right.append(b)
-                    score.append(float(sims[i, j]))
-        return pa.table({"left_id": pa.array(left, id_type),
-                         "right_id": pa.array(right, id_type),
-                         "cosine": pa.array(score, pa.float64())})
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = sims[iu, ju] >= threshold
+        iu, ju = iu[keep], ju[keep]
+        a, b = ids[iu], ids[ju]
+        neq = a != b
+        a, b, score = a[neq], b[neq], sims[iu, ju][neq]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table({"left_id": pa.array(lo.tolist(), id_type),
+                         "right_id": pa.array(hi.tolist(), id_type),
+                         "cosine": pa.array(score.astype(np.float64))})
 
     pairs = _partitioned_bucket_pairs(bucketed, "bucket_key", id_col,
                                       verify, num_partitions=32)
