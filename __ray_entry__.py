@@ -125,6 +125,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": T.dedup_embedding,
         # chunking (C1-C5)
         "chunk_transcripts": T.chunk_transcripts,
+        # C7 legacy recursive-character splitter path
+        "chunk_transcripts_legacy": T.chunk_transcripts_legacy,
         # text analysis
         "text_tokens": T.text_tokens,
         "text_quality": T.text_quality,

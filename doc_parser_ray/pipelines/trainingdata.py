@@ -455,6 +455,30 @@ def chunk_transcripts(sf_dir: str, max_tokens: int = 120) -> pa.Table:
     )
 
 
+def chunk_transcripts_legacy(sf_dir: str, chunk_size: int = 400,
+                             chunk_overlap: int = 40) -> pa.Table:
+    """C7 legacy splitter path (RecursiveCharacterTextSplitter semantics
+    + the legacy page fix, preprocessor.py:186-221) over extracted
+    synthetic transcripts, with the per-conversation counter exchange.
+    Chunk boundaries are algorithmic → no SQL oracle; splitter semantics
+    are unit-tested (tests/test_legacy_split.py)."""
+    from doc_parser_ray.stages.chunk import (
+        assemble_chunk_counters,
+        legacy_chunk_turns,
+    )
+    from doc_parser_ray.stages.extract import apply_extract
+    from doc_parser_ray.sources.transcripts import transcripts_dataset
+
+    ds = transcripts_dataset(n_convs=100, seed=42, max_turns=60)
+    chunks = legacy_chunk_turns(apply_extract(ds), chunk_size=chunk_size,
+                                chunk_overlap=chunk_overlap)
+    out = assemble_chunk_counters(chunks, num_partitions=16)
+    tab = _collect(out)
+    return tab.sort_by(
+        [("conv_id", "ascending"), ("chunk_ord", "ascending")]
+    )
+
+
 def knn_documents_ivf(sf_dir: str, n_queries: int = 5, k: int = 10) -> pa.Table:
     """IVF-bucketed approximate top-k — the scale path: centroids from a
     driver-side sample, cluster assignment + per-bucket scoring inside

@@ -321,3 +321,71 @@ def assemble_chunk_counters(ds, num_partitions: int = 64):
     return ds.groupby("pkey").map_groups(
         _chunk_counter_partition, batch_format="pyarrow"
     )
+
+
+# ----------------------------------------------------- C7 legacy path
+
+LEGACY_CHUNK_SCHEMA = pa.schema([
+    ("conv_id", pa.string()),
+    ("turn_idx", pa.int32()),
+    ("chunk_idx", pa.int32()),
+    ("chunk_text", pa.string()),
+    ("n_char", pa.int32()),
+    ("n_word", pa.int32()),
+    ("n_line", pa.int32()),
+    ("page", pa.int32()),
+    ("i_chunk_on_page", pa.int32()),
+    ("n_chunk_of_page", pa.int32()),
+])
+
+
+def legacy_chunk_batch(batch: pa.Table, *, chunk_size: int = 400,
+                       chunk_overlap: int = 40) -> pa.Table:
+    """C7: the legacy service's RecursiveCharacterTextSplitter path
+    (genon/preprocessor/src/preprocessor.py:186-221 semantics) over
+    extracted turns. A turn stands in for a page: its 0-based turn_idx
+    becomes the 1-based ``page`` via the legacy page fix, and the
+    per-page chunk counters are turn-local (batch-computable — no
+    exchange needed for them)."""
+    from doc_parser_ray.functions.legacy_split import fix_page, recursive_split
+
+    conv_ids = batch.column("conv_id").to_pylist()
+    turn_idxs = batch.column("turn_idx").to_pylist()
+    full_texts = batch.column("extracted_text").to_pylist()
+
+    cols: dict[str, list] = {name: [] for name in LEGACY_CHUNK_SCHEMA.names}
+    for conv_id, turn_idx, full in zip(conv_ids, turn_idxs, full_texts):
+        pieces = [p for p in recursive_split(
+            full or "", chunk_size=chunk_size, chunk_overlap=chunk_overlap
+        ) if p]
+        page = fix_page(turn_idx)
+        n_on_page = len(pieces)
+        for ci, text in enumerate(pieces):
+            cols["conv_id"].append(conv_id)
+            cols["turn_idx"].append(turn_idx)
+            cols["chunk_idx"].append(ci)
+            cols["chunk_text"].append(text)
+            cols["n_char"].append(len(text))
+            cols["n_word"].append(n_words(text))
+            cols["n_line"].append(n_lines(text))
+            cols["page"].append(page)
+            cols["i_chunk_on_page"].append(ci)
+            cols["n_chunk_of_page"].append(n_on_page)
+    return pa.table(
+        {name: pa.array(cols[name], LEGACY_CHUNK_SCHEMA.field(name).type)
+         for name in LEGACY_CHUNK_SCHEMA.names},
+        schema=LEGACY_CHUNK_SCHEMA,
+    )
+
+
+def legacy_chunk_turns(ds, *, chunk_size: int = 400, chunk_overlap: int = 40,
+                       batch_size: int = 128):
+    """Attach the C7 splitter to a Dataset of extracted rows; chain
+    ``assemble_chunk_counters`` for the i/n_chunk_of_doc analogs."""
+    return ds.map_batches(
+        lambda b: legacy_chunk_batch(b, chunk_size=chunk_size,
+                                     chunk_overlap=chunk_overlap),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+    )
