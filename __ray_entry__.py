@@ -131,6 +131,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_tokens": T.text_tokens,
         "text_quality": T.text_quality,
         "lang_id": T.lang_id,
+        "pii_redact": T.pii_redact,
+        "doc_repetition": T.doc_repetition,
         "html_boilerplate": T.html_boilerplate,
         "approx_distinct_users": T.approx_distinct_users,
         "pdf_chunk_provenance": T.pdf_chunk_provenance,
@@ -450,6 +452,79 @@ def oracle_sql() -> dict[str, str]:
                         / CAST(len(words) AS DOUBLE)) * 10000) AS BIGINT)
                        AS stopword_ratio_e4
             FROM w ORDER BY doc_id
+        """,
+        "pii_redact": r"""
+            WITH d0 AS (
+                SELECT doc_id,
+                       text || ' user' || CAST(doc_id AS VARCHAR)
+                            || '@mail.example.com tel 010-'
+                            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                            || '-'
+                            || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR),
+                                    4, '0')
+                            || ' rrn 900101-'
+                            || lpad(CAST(doc_id % 10000000 AS VARCHAR),
+                                    7, '0')
+                            || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                            || '.' || CAST((doc_id * 3) % 256 AS VARCHAR)
+                           AS t
+                FROM documents
+            ),
+            d1 AS (SELECT doc_id,
+                          regexp_replace(t,
+                              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                              '<EMAIL>', 'g') AS t,
+                          len(regexp_extract_all(t,
+                              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                              AS c
+                   FROM d0),
+            d2 AS (SELECT doc_id,
+                          regexp_replace(t, '\b\d{4}-\d{4}-\d{4}-\d{4}\b',
+                                         '<CARD>', 'g') AS t,
+                          c + len(regexp_extract_all(t,
+                              '\b\d{4}-\d{4}-\d{4}-\d{4}\b')) AS c
+                   FROM d1),
+            d3 AS (SELECT doc_id,
+                          regexp_replace(t, '\b\d{6}-\d{7}\b',
+                                         '<RRN>', 'g') AS t,
+                          c + len(regexp_extract_all(t, '\b\d{6}-\d{7}\b'))
+                              AS c
+                   FROM d2),
+            d4 AS (SELECT doc_id,
+                          regexp_replace(t, '\b0\d{1,2}-\d{3,4}-\d{4}\b',
+                                         '<PHONE>', 'g') AS t,
+                          c + len(regexp_extract_all(t,
+                              '\b0\d{1,2}-\d{3,4}-\d{4}\b')) AS c
+                   FROM d3),
+            d5 AS (SELECT doc_id,
+                          regexp_replace(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b',
+                                         '<IP>', 'g') AS t,
+                          c + len(regexp_extract_all(t,
+                              '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS c
+                   FROM d4)
+            SELECT doc_id, t AS red_text, CAST(c AS BIGINT) AS n_pii
+            FROM d5 ORDER BY doc_id
+        """,
+        "doc_repetition": """
+            WITH w AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, word, count(*) AS cnt
+                FROM w GROUP BY doc_id, word
+            ),
+            a AS (
+                SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,
+                       count(*) AS n_distinct, max(cnt) AS top_cnt
+                FROM c GROUP BY doc_id
+            )
+            SELECT doc_id, n_words, CAST(n_distinct AS BIGINT) AS n_distinct,
+                   CAST(FLOOR((CAST(n_words - n_distinct AS DOUBLE) / n_words)
+                        * 10000.0) AS BIGINT) AS dup_word_bp,
+                   CAST(FLOOR((CAST(top_cnt AS DOUBLE) / n_words) * 10000.0)
+                        AS BIGINT) AS top_word_bp
+            FROM a ORDER BY doc_id
         """,
         "knn_cosine": """
             WITH q AS (

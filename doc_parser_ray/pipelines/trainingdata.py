@@ -195,6 +195,73 @@ def text_quality(sf_dir: str) -> pa.Table:
     return _collect(out).sort_by([("doc_id", "ascending")])
 
 
+def pii_redact(sf_dir: str) -> pa.Table:
+    """PII scrubbing (emails / cards / RRNs / phones / IPv4) with an
+    exact oracle: the synthetic documents carry no natural PII, so a
+    deterministic PII suffix derived from doc_id is appended IDENTICALLY
+    on the Ray side (vectorized arrow/numpy string build) and in the
+    oracle SQL, then both sides redact with the same ordered RE2 chain
+    (functions/pii.py — pyarrow and DuckDB both run RE2)."""
+    import numpy as np
+
+    from doc_parser_ray.functions.pii import redact_batch
+
+    def inject(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        suffix = pa.array(
+            [f"user{i}@mail.example.com tel 010-{i % 10000:04d}-"
+             f"{(i * 7) % 10000:04d} rrn 900101-{i % 10000000:07d} "
+             f"ip 10.0.{i % 256}.{(i * 3) % 256}" for i in ids],
+            pa.string())
+        injected = pc.binary_join_element_wise(
+            batch.column("text"), suffix, " ")
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "text": injected})
+
+    out = _docs(sf_dir).map_batches(
+        inject, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        lambda b: redact_batch(b).drop_columns(["text"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return _collect(out).sort_by([("doc_id", "ascending")])
+
+
+def doc_repetition(sf_dir: str) -> pa.Table:
+    """Gopher-style repetition signals per document: duplicate-word
+    fraction and top-word fraction, floor(x*1e4) fixed point. Fully
+    in-batch (each doc is one row): explode words with list kernels,
+    two arrow group_bys, no shuffle — the per-doc metric shape that
+    scales embarrassingly."""
+    import numpy as np
+
+    def rep(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(batch.column("text"), pattern=" ")
+        flat = pc.list_flatten(words)
+        parent = pc.list_parent_indices(words)
+        t = pa.table({"i": parent, "w": flat})
+        per_word = t.group_by(["i", "w"]).aggregate([("w", "count")])
+        per_doc = per_word.group_by("i").aggregate(
+            [("w_count", "sum"), ("w_count", "max"), ("w_count", "count")]
+        ).sort_by([("i", "ascending")])
+        n_words = per_doc.column("w_count_sum").to_numpy().astype(np.float64)
+        top = per_doc.column("w_count_max").to_numpy().astype(np.float64)
+        distinct = per_doc.column("w_count_count").to_numpy().astype(np.float64)
+        dup_bp = np.floor((n_words - distinct) / n_words * 10000.0)
+        top_bp = np.floor(top / n_words * 10000.0)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_words": pa.array(n_words.astype(np.int64)),
+            "n_distinct": pa.array(distinct.astype(np.int64)),
+            "dup_word_bp": pa.array(dup_bp.astype(np.int64)),
+            "top_word_bp": pa.array(top_bp.astype(np.int64)),
+        })
+
+    out = _docs(sf_dir).map_batches(rep, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    return _collect(out).sort_by([("doc_id", "ascending")])
+
+
 def lang_id(sf_dir: str) -> pa.Table:
     """Heuristic language ID per doc (no SQL oracle — heuristic op)."""
     def lid(batch: pa.Table) -> pa.Table:
