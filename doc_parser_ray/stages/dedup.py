@@ -704,21 +704,35 @@ def _emb_matrix(col: pa.ChunkedArray | pa.Array, dim: int) -> np.ndarray:
     return np.asarray(col.to_pylist(), dtype=np.float32)
 
 
-def _embedding_bucket_batch(batch: pa.Table, dim: int,
-                            n_planes: int) -> pa.Table:
-    planes = _worker_planes(dim, n_planes)
+def _embedding_bucket_batch(batch: pa.Table, dim: int, n_planes: int,
+                            n_tables: int = 1) -> pa.Table:
+    """One row per (input row, hash table): L independently-seeded
+    hyperplane tables OR-ed together — per-table collision probability
+    at angle θ is (1-θ/π)^n_planes (≈0.43 at cosine 0.95 for 8 planes),
+    so a single table misses most true pairs; 1-(1-p)^L recovers them
+    (≈0.89 at L=4). The table id is packed into the top bits of the
+    int64 bucket key so downstream stays one exchange."""
     emb = _emb_matrix(batch.column("embedding"), dim)
-    signs = (emb @ planes) >= 0
-    keys = signs @ (1 << np.arange(n_planes, dtype=np.int64))
-    return batch.append_column("bucket_key", pa.array(keys, pa.int64()))
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+    pieces = []
+    for t in range(n_tables):
+        planes = _worker_planes(dim, n_planes, seed=42 + t)
+        keys = ((emb @ planes) >= 0) @ weights | (np.int64(t) << 56)
+        pieces.append(
+            batch.append_column("bucket_key", pa.array(keys, pa.int64())))
+    return pa.concat_tables(pieces)
 
 
 def embedding_dedup_pairs(ds, *, id_col: str = "vec_id", dim: int = 64,
-                          n_planes: int = 8, threshold: float = 0.95):
-    """Near-identical embedding pairs: hyperplane-LSH bucket groupby +
-    exact cosine verification inside buckets."""
+                          n_planes: int = 8, threshold: float = 0.95,
+                          n_tables: int = 4):
+    """Near-identical embedding pairs: multi-table hyperplane-LSH bucket
+    groupby + exact cosine verification inside buckets. ``n_tables``
+    trades exchange volume (each table replicates the id+embedding rows
+    once) for recall; duplicate candidate pairs across tables collapse
+    in the final groupby-max."""
     bucketed = ds.map_batches(
-        lambda b: _embedding_bucket_batch(b, dim, n_planes),
+        lambda b: _embedding_bucket_batch(b, dim, n_planes, n_tables),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )

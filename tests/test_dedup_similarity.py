@@ -104,6 +104,40 @@ class TestDedup:
                                       pairs.column("right_id").to_pylist())}
         assert (0, 8) in got
 
+    def test_embedding_multi_table_recall(self):
+        # plant moderately-near pairs (cos ~0.95): a single 8-plane table
+        # collides with prob ~(1-theta/pi)^8 ~ 0.43, so OR-ing 4 tables
+        # must recover a clear majority of the true pairs
+        rng = np.random.RandomState(7)
+        dim, n_pairs = 32, 40
+        base = rng.randn(n_pairs, dim).astype(np.float32)
+        base /= np.linalg.norm(base, axis=1, keepdims=True)
+        noise = rng.randn(n_pairs, dim).astype(np.float32)
+        noise -= (noise * base).sum(1, keepdims=True) * base  # orthogonal
+        noise /= np.linalg.norm(noise, axis=1, keepdims=True)
+        theta = 0.30  # cos ~0.955
+        near = np.cos(theta) * base + np.sin(theta) * noise
+        vecs = np.vstack([base, near])
+        tab = pa.table({
+            "vec_id": pa.array(range(2 * n_pairs), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+        })
+        truth = {(i, i + n_pairs) for i in range(n_pairs)}
+
+        def recall(n_tables):
+            ds = ray.data.from_arrow(tab)
+            pairs = collect_table(embedding_dedup_pairs(
+                ds, id_col="vec_id", dim=dim, n_planes=8,
+                threshold=0.95, n_tables=n_tables))
+            got = set(zip(pairs.column("left_id").to_pylist(),
+                          pairs.column("right_id").to_pylist()))
+            return len(got & truth) / len(truth)
+
+        r1, r4 = recall(1), recall(4)
+        assert r4 > r1
+        assert r4 >= 0.75
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestSimilarity:
