@@ -133,6 +133,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": T.lang_id,
         "pii_redact": T.pii_redact,
         "doc_repetition": T.doc_repetition,
+        "corpus_vocab": T.corpus_vocab,
+        "train_split": T.train_split,
         "html_boilerplate": T.html_boilerplate,
         "approx_distinct_users": T.approx_distinct_users,
         "pdf_chunk_provenance": T.pdf_chunk_provenance,
@@ -525,6 +527,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(FLOOR((CAST(top_cnt AS DOUBLE) / n_words) * 10000.0)
                         AS BIGINT) AS top_word_bp
             FROM a ORDER BY doc_id
+        """,
+        "corpus_vocab": """
+            WITH w AS (
+                SELECT unnest(string_split(text, ' ')) AS word
+                FROM documents
+            )
+            SELECT word, CAST(count(*) AS BIGINT) AS cnt
+            FROM w GROUP BY word
+            ORDER BY cnt DESC, word ASC LIMIT 50
+        """,
+        "train_split": """
+            SELECT doc_id,
+                   CASE WHEN (doc_id * 2654435761) % 100 < 90
+                        THEN 'train' ELSE 'valid' END AS split
+            FROM documents ORDER BY doc_id
         """,
         "knn_cosine": """
             WITH q AS (

@@ -262,6 +262,54 @@ def doc_repetition(sf_dir: str) -> pa.Table:
     return _collect(out).sort_by([("doc_id", "ascending")])
 
 
+def corpus_vocab(sf_dir: str, k: int = 50) -> pa.Table:
+    """Global top-k vocabulary — the partial-aggregation exemplar: each
+    batch collapses to its own (word, count) table (explode + arrow
+    group_by, so the shuffle moves at most |batch vocab| rows, not one
+    row per token), then one small groupby-sum and a driver-side top-k.
+    At 100 TB the exchange is bounded by distinct-words-per-block,
+    which Zipf keeps tiny relative to token count."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(batch.column("text"), pattern=" ")
+        t = pa.table({"word": pc.list_flatten(words)})
+        g = t.group_by("word").aggregate([([], "count_all")])
+        return pa.table({"word": g.column("word"),
+                         "cnt": g.column("count_all")})
+
+    ds = _docs(sf_dir).map_batches(partial, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    agg = ds.groupby("word").sum("cnt")
+    t = _collect(agg)
+    tab = pa.table({"word": t.column("word"), "cnt": t.column("sum(cnt)")})
+    tab = tab.sort_by([("cnt", "descending"), ("word", "ascending")])
+    out = tab.slice(0, k)
+    return pa.table({"word": out.column("word"),
+                     "cnt": pc.cast(out.column("cnt"), pa.int64())})
+
+
+def train_split(sf_dir: str, train_pct: int = 90) -> pa.Table:
+    """Deterministic train/validation assignment by a multiplicative
+    hash of doc_id — stable across runs and cluster sizes, exactly
+    reproducible in SQL (pure int64 arithmetic on both sides)."""
+
+    def assign(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = batch.column("doc_id").to_numpy()
+        bucket = (ids * np.int64(2654435761)) % 100
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "split": pa.array(
+                np.where(bucket < train_pct, "train", "valid").tolist(),
+                pa.string()),
+        })
+
+    out = _docs(sf_dir, columns=["doc_id"]).map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True)
+    return _collect(out).sort_by([("doc_id", "ascending")])
+
+
 def lang_id(sf_dir: str) -> pa.Table:
     """Heuristic language ID per doc (no SQL oracle — heuristic op)."""
     def lid(batch: pa.Table) -> pa.Table:
