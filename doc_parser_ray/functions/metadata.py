@@ -112,3 +112,12 @@ def extract_metadata(text: str) -> dict:
             break
 
     return {"title": title, "created_date": created_date, "authors": authors}
+
+
+def safe_join(iterable) -> str:
+    """facade/basic_processor.py:1006-1009 — join any list/tuple/set of
+    values with a trailing newline; anything else becomes ''. Pinned by
+    the reference's tests/unit/test_helpers.py."""
+    if not isinstance(iterable, (list, tuple, set)):
+        return ""
+    return "".join(map(str, iterable)) + "\n"

@@ -555,6 +555,7 @@ def chunk_transcripts(sf_dir: str, max_tokens: int = 120) -> pa.Table:
     per-conversation positional counters. Heuristic token estimate → no
     SQL oracle; invariants covered by unit tests."""
     from doc_parser_ray.stages.chunk import (
+        add_vector_text,
         assemble_chunk_counters,
         chunk_turns,
     )
@@ -563,6 +564,8 @@ def chunk_transcripts(sf_dir: str, max_tokens: int = 120) -> pa.Table:
 
     ds = transcripts_dataset(n_convs=100, seed=42, max_turns=60)
     chunks = chunk_turns(apply_extract(ds), max_tokens=max_tokens)
+    chunks = chunks.map_batches(add_vector_text, batch_format="pyarrow",
+                                zero_copy_batch=True)
     out = assemble_chunk_counters(chunks, num_partitions=16)
     tab = _collect(out)
     return tab.sort_by(

@@ -389,3 +389,22 @@ def legacy_chunk_turns(ds, *, chunk_size: int = 400, chunk_overlap: int = 40,
         batch_size=batch_size,
         zero_copy_batch=True,
     )
+
+
+def compose_vector_text(headings: list[str], chunk_text: str) -> str:
+    """GenOS vector text (facade/basic_processor.py:1134-1136): the
+    heading context joined as a 'HEADER: h1, h2' first line, then the
+    chunk body; no marker line when the chunk has no heading context."""
+    if headings:
+        return "HEADER: " + ", ".join(headings) + "\n" + chunk_text
+    return chunk_text
+
+
+def add_vector_text(tab: pa.Table) -> pa.Table:
+    """Batch transform: materialize the vector ``text`` field from the
+    headings JSON + chunk_text columns."""
+    heads = tab.column("headings").to_pylist()
+    texts = tab.column("chunk_text").to_pylist()
+    vt = [compose_vector_text(json.loads(h) if h else [], t)
+          for h, t in zip(heads, texts)]
+    return tab.append_column("vector_text", pa.array(vt, pa.string()))

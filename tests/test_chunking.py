@@ -171,3 +171,60 @@ class TestChunkPipeline:
                 == grp[["turn_idx", "chunk_idx"]].values.tolist()
             )
             assert (grp["n_chunks_of_conv"] == len(grp)).all()
+
+
+class TestVectorText:
+    """GenOS vector text composition (basic_processor.py:1134-1136) and
+    the section-header-order invariant pinned by the reference's
+    tests/unit/test_section_header_order.py."""
+
+    def test_header_marker_line(self):
+        from doc_parser_ray.stages.chunk import compose_vector_text
+
+        assert compose_vector_text(["A", "B"], "body") == "HEADER: A, B\nbody"
+        assert compose_vector_text([], "body") == "body"
+
+    def test_add_vector_text_column(self):
+        import json
+
+        import pyarrow as pa
+
+        from doc_parser_ray.stages.chunk import add_vector_text
+
+        tab = pa.table({
+            "headings": [json.dumps(["H1", "H2"]), json.dumps([])],
+            "chunk_text": ["x", "y"],
+        })
+        out = add_vector_text(tab)
+        assert out.column("vector_text").to_pylist() == \
+            ["HEADER: H1, H2\nx", "y"]
+
+    def test_section_headers_in_document_order(self):
+        # deeper header replaced on shallower re-entry: the HEADER line
+        # of later chunks must list the LIVE context in level order
+        import re
+
+        from doc_parser_ray.datamodel import SECTION_HEADER
+        from doc_parser_ray.stages.chunk import (
+            chunk_items,
+            compose_vector_text,
+        )
+
+        items = [
+            {"label": SECTION_HEADER, "level": 1},
+            {"label": "text"},
+            {"label": SECTION_HEADER, "level": 2},
+            {"label": "text"},
+            {"label": SECTION_HEADER, "level": 1},
+            {"label": "text"},
+        ]
+        texts = ["Top A", "alpha body words", "Sub A1",
+                 "beta body words", "Top B", "gamma body words"]
+        chunks = chunk_items(items, texts, max_tokens=4)
+        rendered = [compose_vector_text(c["headings"], c["text"])
+                    for c in chunks]
+        headers = [re.findall(r"HEADER:\s*(.+?)\n", r) for r in rendered]
+        flat = [h[0] for h in headers if h]
+        assert flat[0] == "Top A"
+        assert "Top A, Sub A1" in flat
+        assert flat[-1] == "Top B"  # Sub A1 cleared by the level-1 re-entry

@@ -61,3 +61,12 @@ class TestExtractMetadata:
         assert meta["title"] == "just some text"
         assert meta["created_date"] == 0
         assert meta["authors"] == []
+
+
+def test_safe_join_reference_pins():
+    from doc_parser_ray.functions.metadata import safe_join
+
+    assert safe_join(["a", "b"]) == "ab\n"
+    assert safe_join(123) == ""
+    assert safe_join((1, 2)) == "12\n"
+    assert safe_join("ab") == ""  # strings are not list/tuple/set
