@@ -113,6 +113,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_interval_join": R.q_interval_join,
         "q_value_percentiles": R.q_value_percentiles,
         "q_sliding_window": R.q_sliding_window,
+        # big⋈big shuffle hash join family (inner / semi / anti)
+        "q_order_lineitem_join": R.q_order_lineitem_join,
+        "q_orders_with_returns": R.q_orders_with_returns,
+        "q_customers_no_f_orders": R.q_customers_no_f_orders,
         # extraction (P1/P2/P5 + PDF path, SQL-verified round-trip)
         "extract_roundtrip": T.extract_roundtrip,
         "extract_transcripts": _q_extract_transcripts,
@@ -287,6 +291,34 @@ def oracle_sql() -> dict[str, str]:
         "doc_json_roundtrip": """
             SELECT doc_id, TRIM(text) AS extracted_text
             FROM documents ORDER BY doc_id
+        """,
+        "q_order_lineitem_join": """
+            SELECT o_orderpriority,
+                   COUNT(*) AS n_items,
+                   CAST(SUM(CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT))
+                       AS BIGINT) AS sum_qty_c,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+                       AS BIGINT) AS sum_price_c
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "q_orders_with_returns": """
+            SELECT o_orderpriority, COUNT(*) AS n_orders
+            FROM orders
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem
+                WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+            )
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "q_customers_no_f_orders": """
+            SELECT c_mktsegment, COUNT(*) AS n_customers
+            FROM customer
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey AND o_orderstatus = 'F'
+            )
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
         """,
         "q_sliding_window": """
             SELECT o_orderkey,

@@ -533,6 +533,104 @@ def q_interval_join(sf_dir: str, window_days: int = 90) -> pa.Table:
     )
 
 
+def _combine_partials(parts: pa.Table, key: str,
+                      sums: list[str]) -> pa.Table:
+    """Driver-side final combine of per-batch partial aggregates:
+    bounded by (#batches × #groups) rows, never by the data."""
+    agg = parts.group_by(key).aggregate([(c, "sum") for c in sums])
+    return agg.rename_columns([key] + sums)
+
+
+def q_order_lineitem_join(sf_dir: str) -> pa.Table:
+    """Big⋈big equi-join (lineitem⋈orders on orderkey) via
+    ``shuffle_hash_join`` — both sides too big to broadcast at scale —
+    then per-priority rollup. The aggregate is combined map-side
+    (per-batch pyarrow group_by) so only (#batches × 5) partial rows
+    reach the driver; no second all-to-all after the join."""
+    from doc_parser_ray.stages.joins import shuffle_hash_join
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_quantity", "l_extendedprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": batch.column("l_orderkey"),
+            "qty_c": cents(batch.column("l_quantity")),
+            "price_c": cents(batch.column("l_extendedprice")),
+        })
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = shuffle_hash_join(
+        li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        orders, left_key="l_orderkey", right_key="o_orderkey", how="inner",
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.append_column("one", pa.array([1] * batch.num_rows,
+                                                    pa.int64()))
+        agg = batch.group_by("o_orderpriority").aggregate(
+            [("one", "sum"), ("qty_c", "sum"), ("price_c", "sum")])
+        return agg.rename_columns(
+            ["o_orderpriority", "n_items", "sum_qty_c", "sum_price_c"])
+
+    parts = collect_table(joined.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True))
+    out = _combine_partials(parts, "o_orderpriority",
+                            ["n_items", "sum_qty_c", "sum_price_c"])
+    return out.sort_by([("o_orderpriority", "ascending")])
+
+
+def q_orders_with_returns(sf_dir: str) -> pa.Table:
+    """Semi join (SQL EXISTS): orders with ≥1 returned line item,
+    counted per priority. The right side sheds everything but the key
+    before the exchange — the shuffle moves keys only."""
+    from doc_parser_ray.stages.joins import shuffle_hash_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    returned = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"]) \
+        .filter(expr="l_returnflag == 'R'")
+    joined = shuffle_hash_join(
+        orders, returned, left_key="o_orderkey", right_key="l_orderkey",
+        how="semi",
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.append_column("one", pa.array([1] * batch.num_rows,
+                                                    pa.int64()))
+        agg = batch.group_by("o_orderpriority").aggregate([("one", "sum")])
+        return agg.rename_columns(["o_orderpriority", "n_orders"])
+
+    parts = collect_table(joined.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True))
+    out = _combine_partials(parts, "o_orderpriority", ["n_orders"])
+    return out.sort_by([("o_orderpriority", "ascending")])
+
+
+def q_customers_no_f_orders(sf_dir: str) -> pa.Table:
+    """Anti join (SQL NOT EXISTS): customers with no completed ('F')
+    order, counted per market segment."""
+    from doc_parser_ray.stages.joins import shuffle_hash_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    f_orders = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"]) \
+        .filter(expr="o_orderstatus == 'F'")
+    joined = shuffle_hash_join(
+        cust, f_orders, left_key="c_custkey", right_key="o_custkey",
+        how="anti",
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.append_column("one", pa.array([1] * batch.num_rows,
+                                                    pa.int64()))
+        agg = batch.group_by("c_mktsegment").aggregate([("one", "sum")])
+        return agg.rename_columns(["c_mktsegment", "n_customers"])
+
+    parts = collect_table(joined.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True))
+    out = _combine_partials(parts, "c_mktsegment", ["n_customers"])
+    return out.sort_by([("c_mktsegment", "ascending")])
+
+
 def q_distinct_segments(sf_dir: str) -> pa.Table:
     """Distinct via groupby-count, sorted."""
     out = (

@@ -4,8 +4,12 @@
 the small side is ``ray.put`` into the object store ONCE and every map
 task reads it zero-copy; the big side streams through ``map_batches``
 with a per-batch pyarrow (Acero) hash join — Arrow-native end to end,
-no pandas conversion. No all-to-all shuffle. Use ``Dataset.join`` (hash
-shuffle join) only for big⋈big.
+no pandas conversion. No all-to-all shuffle.
+
+``shuffle_hash_join``: the big⋈big equi-join — both sides hash-
+co-partitioned on the key into bounded partitions, one Acero join per
+partition. Supports inner/left/right/full outer plus semi/anti
+(EXISTS / NOT EXISTS); semi/anti shuffle keys only.
 
 ``asof_join``: each left row matched to the latest right row with the
 same key at-or-before the left timestamp (tie-broken by the largest
@@ -80,6 +84,106 @@ def broadcast_join(ds, small: pa.Table, *, left_key: str, right_key: str,
 
     kwargs = {"concurrency": concurrency} if concurrency else {}
     return ds.map_batches(join_batch, batch_format="pyarrow", **kwargs)
+
+
+# ---------------------------------------------------- shuffle hash
+
+
+_SHUFFLE_JOIN_TYPES = {
+    "inner": "inner",
+    "left": "left outer",
+    "right": "right outer",
+    "outer": "full outer",
+    "semi": "left semi",
+    "anti": "left anti",
+}
+
+
+def _pkey_array(keys: np.ndarray, num_partitions: int) -> pa.Array:
+    """Bounded hash-partition keys from a key column (vectorized for
+    integer keys; crc32 per value for strings — partitioning only, not
+    the hot row path)."""
+    if keys.dtype.kind in "iu":
+        pk = (keys % num_partitions).astype("int32")
+    else:
+        pk = np.array([zlib.crc32(str(x).encode()) % num_partitions
+                       for x in keys], dtype="int32")
+    return pa.array(pk)
+
+
+def shuffle_hash_join(left_ds, right_ds, *, left_key: str, right_key: str,
+                      how: str = "inner", num_partitions: int = 32):
+    """Large⋈large equi-join: both sides hash-co-partitioned on the key
+    into a BOUNDED number of partitions (``pkey``), then one pyarrow
+    (Acero) hash join per partition.
+
+    Because every key value lands in exactly one partition, ALL join
+    semantics are correct per partition — including the right/full
+    outer joins that ``broadcast_join`` must refuse (a per-batch outer
+    join would re-emit unmatched small-side rows once per batch) and
+    the semi/anti forms SQL spells EXISTS / NOT EXISTS:
+
+      - ``inner`` / ``left`` / ``right`` / ``outer``
+      - ``semi``  (left rows with ≥1 match; right side never emitted)
+      - ``anti``  (left rows with NO match)
+
+    For ``semi``/``anti`` the right side is projected to its key column
+    before the exchange, so the shuffle moves keys only. The output of
+    the non-semi forms carries the left columns plus the right columns
+    (key coalesced; name clashes suffixed ``_r``), exactly like
+    ``broadcast_join``. At 100 TB this is the shape for fact⋈fact:
+    the shuffle moves only the two join projections, and partition
+    count bounds the per-task working set; use ``broadcast_join`` when
+    one side is dimension-scale.
+    """
+    if how not in _SHUFFLE_JOIN_TYPES:
+        raise ValueError(
+            f"how={how!r}: expected one of {sorted(_SHUFFLE_JOIN_TYPES)}")
+    join_type = _SHUFFLE_JOIN_TYPES[how]
+    if how in ("semi", "anti"):
+        right_ds = right_ds.select_columns([right_key])
+    left_schema = left_ds.schema().base_schema
+    right_schema = right_ds.schema().base_schema
+    left_cols = list(left_schema.names)
+    right_cols = list(right_schema.names)
+
+    def tag(side: int, key_col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+            n = len(keys)
+            cols = {"pkey": _pkey_array(keys, num_partitions),
+                    "side": pa.array(np.full(n, side, dtype="int8"))}
+            for c in left_cols:
+                cols[f"l_{c}"] = (batch.column(c) if side == 0
+                                  else pa.nulls(n, left_schema.field(c).type))
+            for c in right_cols:
+                cols[f"r_{c}"] = (batch.column(c) if side == 1
+                                  else pa.nulls(n, right_schema.field(c).type))
+            return pa.table(cols)
+        return fn
+
+    both = (left_ds.map_batches(tag(0, left_key), batch_format="pyarrow")
+            .union(right_ds.map_batches(tag(1, right_key),
+                                        batch_format="pyarrow"))
+            .materialize())
+
+    def merge(part: pa.Table) -> pa.Table:
+        side = part.column("side").to_numpy(zero_copy_only=False)
+        lt_rows = part.filter(pa.array(side == 0))
+        rt_rows = part.filter(pa.array(side == 1))
+        lt = pa.table({c: lt_rows.column(f"l_{c}") for c in left_cols})
+        rt = pa.table({c: rt_rows.column(f"r_{c}") for c in right_cols})
+        out = lt.join(rt, keys=[left_key], right_keys=[right_key],
+                      join_type=join_type, right_suffix="_r")
+        if join_type == "right outer" and left_key not in out.column_names:
+            # Acero emits the (uncoalesced) right key for right outer —
+            # rename to the left key so every `how` shares the convention
+            out = out.rename_columns(
+                [left_key if c == right_key else c
+                 for c in out.column_names])
+        return out
+
+    return both.groupby("pkey").map_groups(merge, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------ range
