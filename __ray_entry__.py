@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": T.dedup_minhash,
         "dedup_simhash": T.dedup_simhash,
         "dedup_ngram": T.dedup_ngram,
+        "dedup_components": T.dedup_components,
         "dedup_embedding": T.dedup_embedding,
         # chunking (C1-C5)
         "chunk_transcripts": T.chunk_transcripts,
@@ -398,6 +399,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(FLOOR(j * 10000.0 + 0.5) AS BIGINT) AS jaccard_e4
             FROM p WHERE j >= 0.5
             ORDER BY left_id, right_id
+        """,
+        "dedup_components": r"""
+            WITH RECURSIVE d AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\s+') AS w
+                FROM documents
+                WHERE trim(text) <> ''
+            ),
+            s AS (
+                SELECT doc_id,
+                       CASE WHEN len(w) < 3
+                            THEN [array_to_string(w, ' ')]
+                            ELSE list_distinct(list_transform(
+                                generate_series(1, len(w) - 2),
+                                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                       END AS sh
+                FROM d
+            ),
+            p AS (
+                SELECT a.doc_id AS left_id, b.doc_id AS right_id
+                FROM s a JOIN s b ON a.doc_id < b.doc_id
+                WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+                      (len(a.sh) + len(b.sh)
+                       - len(list_intersect(a.sh, b.sh))) >= 0.5
+            ),
+            e AS (
+                SELECT left_id AS a, right_id AS b FROM p
+                UNION ALL
+                SELECT right_id, left_id FROM p
+            ),
+            walk(node, comp) AS (
+                SELECT DISTINCT a, a FROM e
+                UNION
+                SELECT e.b, walk.comp FROM walk JOIN e ON e.a = walk.node
+            )
+            SELECT node AS doc_id, MIN(comp) AS component
+            FROM walk GROUP BY node ORDER BY doc_id
         """,
         "doc_metadata": """
             WITH m AS (

@@ -26,6 +26,7 @@ from doc_parser_ray.functions.textstats import (
 )
 from doc_parser_ray.stages.dedup import (
     add_exact_key,
+    connected_components,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -128,6 +129,25 @@ def dedup_ngram(sf_dir: str, threshold: float = 0.5) -> pa.Table:
     )
     tab = tab.remove_column(2).append_column("jaccard_e4", e4)
     return tab.sort_by([("left_id", "ascending"), ("right_id", "ascending")])
+
+
+def dedup_components(sf_dir: str, threshold: float = 0.5) -> pa.Table:
+    """Duplicate-CLUSTER labels: the exact trigram-Jaccard pair stream
+    (≥ ``threshold``) fed through distributed connected components
+    (alternating large-star/small-star contraction) — the step that
+    turns pairwise near-dup hits into keep-one-per-cluster decisions.
+    ``component`` is the min doc_id of each cluster; singleton docs
+    never enter the edge list and are not emitted. SQL-verifiable via
+    a recursive min-label-propagation CTE."""
+    pairs = ngram_jaccard_pairs(
+        _docs(sf_dir), id_col="doc_id", text_col="text", k=3,
+        threshold=threshold, max_shingle_df=None,
+    )
+    comps = connected_components(pairs, left_col="left_id",
+                                 right_col="right_id")
+    tab = _collect_pairs(comps, ["doc_id", "component"],
+                         [pa.int64(), pa.int64()])
+    return tab.sort_by([("doc_id", "ascending")])
 
 
 def dedup_embedding(sf_dir: str) -> pa.Table:

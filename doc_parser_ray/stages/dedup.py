@@ -763,3 +763,152 @@ def embedding_dedup_pairs(ds, *, id_col: str = "vec_id", dim: int = 64,
     pairs = _partitioned_bucket_pairs(bucketed, "bucket_key", id_col,
                                       verify, num_partitions=32)
     return pairs.groupby(["left_id", "right_id"]).max("cosine")
+
+
+# ----------------------------------------------- connected components
+
+
+def _star_reduce(part: pa.Table, large: bool) -> pa.Table:
+    """Vectorized per-partition star contraction. Input rows (u, v)
+    grouped so that ALL rows of a node u land in this partition; one
+    argsort + np.minimum.reduceat per partition, no per-node Python."""
+    u = part.column("u").to_numpy(zero_copy_only=False)
+    v = part.column("v").to_numpy(zero_copy_only=False)
+    if len(u) == 0:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64())})
+    order = np.argsort(u, kind="stable")
+    us, vs = u[order], v[order]
+    starts = np.flatnonzero(np.r_[True, us[1:] != us[:-1]])
+    seg_len = np.diff(np.r_[starts, len(us)])
+    m = np.minimum(us[starts], np.minimum.reduceat(vs, starts))
+    m_row = np.repeat(m, seg_len)
+    if large:
+        # connect every strictly-larger neighbor to the neighborhood min
+        mask = vs > us
+        out_a, out_b = vs[mask], m_row[mask]
+    else:
+        # neighbors are all < u here: connect them (and u) to the min
+        mask = vs != m_row
+        out_a = np.concatenate([vs[mask], us[starts]])
+        out_b = np.concatenate([m_row[mask], m])
+    keep = out_a != out_b
+    out_a, out_b = out_a[keep], out_b[keep]
+    if len(out_a):
+        uniq = np.unique(np.stack([out_a, out_b], axis=1), axis=0)
+        out_a, out_b = uniq[:, 0], uniq[:, 1]
+    return pa.table({"a": pa.array(out_a, pa.int64()),
+                     "b": pa.array(out_b, pa.int64())})
+
+
+def _star_half_round(edges_ds, large: bool, num_partitions: int):
+    def emit(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        if large:
+            u = np.concatenate([a, b])
+            v = np.concatenate([b, a])
+        else:
+            u = np.maximum(a, b)
+            v = np.minimum(a, b)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        return pa.table({
+            "pkey": pa.array((u % num_partitions).astype("int32")),
+            "u": pa.array(u, pa.int64()),
+            "v": pa.array(v, pa.int64()),
+        })
+
+    keyed = edges_ds.map_batches(emit, batch_format="pyarrow",
+                                 zero_copy_batch=True).materialize()
+    return keyed.groupby("pkey").map_groups(
+        lambda p: _star_reduce(p, large), batch_format="pyarrow")
+
+
+def _edge_checksum(edges_ds) -> tuple[int, int]:
+    """(count, order-independent hash) of the canonicalized edge set —
+    a fixed-size per-block reduce, no shuffle."""
+    from doc_parser_ray.util import collect_table
+
+    def block_sum(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = batch.column("b").to_numpy(zero_copy_only=False).astype(np.uint64)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        h = (lo * np.uint64(0x9E3779B97F4A7C15)) ^ (hi + np.uint64(0x517CC1B7))
+        return pa.table({"n": pa.array([len(a)], pa.int64()),
+                         "s": pa.array([int(h.sum() & (2**64 - 1))],
+                                       pa.uint64())})
+
+    t = collect_table(edges_ds.map_batches(block_sum, batch_format="pyarrow",
+                                           zero_copy_batch=True))
+    n = int(pc.sum(t.column("n")).as_py() or 0)
+    s = int(sum(t.column("s").to_pylist()) & (2**64 - 1))
+    return n, s
+
+
+def connected_components(pairs, *, left_col: str = "left_id",
+                         right_col: str = "right_id",
+                         num_partitions: int = 32,
+                         max_iters: int = 50):
+    """Distributed connected components over an undirected edge list
+    (e.g. the near-duplicate pair streams of this module) via
+    alternating large-star / small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", ACM SoCC 2014).
+
+    Each half-round is ONE bounded exchange: edges are re-oriented in
+    map_batches with a bounded ``pkey`` (so all rows of a node land
+    together without millions of tiny groups), and the per-partition
+    contraction is fully vectorized (argsort + np.minimum.reduceat).
+    Edge count is non-increasing up to star re-emission and the rounds
+    converge in O(log^2 n); convergence is detected with a fixed-size
+    per-block checksum, never by collecting edges on the driver.
+
+    Returns a Dataset ``(node, component)`` with component = the min
+    node id of the node's cluster, for every node that appears in a
+    non-self-loop edge (singletons never enter a pair stream, and
+    self-loops are ignored as degenerate singletons).
+    """
+    edges = pairs.select_columns([left_col, right_col]).map_batches(
+        lambda b: pa.table({
+            "a": b.column(left_col).cast(pa.int64()),
+            "b": b.column(right_col).cast(pa.int64()),
+        }), batch_format="pyarrow", zero_copy_batch=True)
+
+    prev = None
+    for _ in range(max_iters):
+        edges = _star_half_round(edges, large=True,
+                                 num_partitions=num_partitions)
+        edges = _star_half_round(edges, large=False,
+                                 num_partitions=num_partitions).materialize()
+        sig = _edge_checksum(edges)
+        if sig == prev:
+            break
+        prev = sig
+
+    # converged: every edge is (node, component-min); add the roots
+    # and collapse any residual duplicates with one bounded exchange
+    def to_labels(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        node = np.concatenate([a, b])
+        comp = np.concatenate([b, b])
+        return pa.table({
+            "pkey": pa.array((node % num_partitions).astype("int32")),
+            "u": pa.array(node, pa.int64()),
+            "v": pa.array(comp, pa.int64()),
+        })
+
+    def label_min(part: pa.Table) -> pa.Table:
+        u = part.column("u").to_numpy(zero_copy_only=False)
+        v = part.column("v").to_numpy(zero_copy_only=False)
+        order = np.argsort(u, kind="stable")
+        us, vs = u[order], v[order]
+        starts = np.flatnonzero(np.r_[True, us[1:] != us[:-1]])
+        comp = np.minimum.reduceat(vs, starts)
+        return pa.table({"node": pa.array(us[starts], pa.int64()),
+                         "component": pa.array(comp, pa.int64())})
+
+    keyed = edges.map_batches(to_labels, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+    return keyed.groupby("pkey").map_groups(label_min,
+                                            batch_format="pyarrow")

@@ -15,6 +15,7 @@ from doc_parser_ray.functions.textstats import (
     quality_stats,
 )
 from doc_parser_ray.stages.dedup import (
+    connected_components,
     embedding_dedup_pairs,
     exact_dedup,
     minhash_lsh_pairs,
@@ -252,3 +253,63 @@ class TestTextStats:
 
     def test_normalize(self):
         assert normalize_for_dedup("  A  b\t c\n") == "a b c"
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestConnectedComponents:
+    """Distributed large-star/small-star CC vs a driver union-find."""
+
+    @staticmethod
+    def _uf_labels(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            if a == b:
+                continue  # self-loop = singleton; CC doesn't emit those
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # min node id of each cluster as the label
+        roots = {}
+        for n in parent:
+            r = find(n)
+            roots[r] = min(roots.get(r, r), n)
+        return sorted((n, roots[find(n)]) for n in parent)
+
+    def _run(self, edges):
+        tab = pa.table({
+            "left_id": pa.array([a for a, _ in edges], pa.int64()),
+            "right_id": pa.array([b for _, b in edges], pa.int64()),
+        })
+        out = collect_table(
+            connected_components(ray.data.from_arrow(tab),
+                                 num_partitions=8))
+        got = sorted(zip(out.column("node").to_pylist(),
+                         out.column("component").to_pylist()))
+        assert got == self._uf_labels(edges)
+
+    def test_chain_merges_to_one(self):
+        # a long path is the worst case for label propagation
+        self._run([(i, i + 1) for i in range(200)])
+
+    def test_disjoint_cliques_and_self_loops(self):
+        edges = [(1, 2), (2, 3), (3, 1), (10, 11), (12, 12), (20, 21)]
+        self._run(edges)
+
+    def test_random_graphs_match_union_find(self):
+        rng = np.random.default_rng(7)
+        for n, m in [(50, 30), (100, 100), (300, 260)]:
+            a = rng.integers(0, n, m)
+            b = rng.integers(0, n, m)
+            self._run(list(zip(a.tolist(), b.tolist())))
+
+    def test_star_graph_hub(self):
+        # high-degree hub (the case large-star exists for)
+        self._run([(500, i) for i in range(120)])
