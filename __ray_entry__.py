@@ -127,6 +127,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": T.dedup_simhash,
         "dedup_ngram": T.dedup_ngram,
         "dedup_components": T.dedup_components,
+        "dedup_near_survivors": T.dedup_near_survivors,
+        "dedup_incremental": T.dedup_incremental,
         "dedup_embedding": T.dedup_embedding,
         # chunking (C1-C5)
         "chunk_transcripts": T.chunk_transcripts,
@@ -436,6 +438,59 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS doc_id, MIN(comp) AS component
             FROM walk GROUP BY node ORDER BY doc_id
+        """,
+        "dedup_near_survivors": r"""
+            WITH RECURSIVE d AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\s+') AS w
+                FROM documents
+                WHERE trim(text) <> ''
+            ),
+            s AS (
+                SELECT doc_id,
+                       CASE WHEN len(w) < 3
+                            THEN [array_to_string(w, ' ')]
+                            ELSE list_distinct(list_transform(
+                                generate_series(1, len(w) - 2),
+                                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                       END AS sh
+                FROM d
+            ),
+            p AS (
+                SELECT a.doc_id AS left_id, b.doc_id AS right_id
+                FROM s a JOIN s b ON a.doc_id < b.doc_id
+                WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+                      (len(a.sh) + len(b.sh)
+                       - len(list_intersect(a.sh, b.sh))) >= 0.5
+            ),
+            e AS (
+                SELECT left_id AS a, right_id AS b FROM p
+                UNION ALL
+                SELECT right_id, left_id FROM p
+            ),
+            walk(node, comp) AS (
+                SELECT DISTINCT a, a FROM e
+                UNION
+                SELECT e.b, walk.comp FROM walk JOIN e ON e.a = walk.node
+            ),
+            labels AS (
+                SELECT node, MIN(comp) AS component FROM walk GROUP BY node
+            )
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN
+                  (SELECT node FROM labels WHERE node <> component)
+            ORDER BY doc_id
+        """,
+        "dedup_incremental": r"""
+            SELECT n.doc_id
+            FROM documents n
+            WHERE n.doc_id % 3 = 0
+              AND NOT EXISTS (
+                SELECT 1 FROM documents s
+                WHERE s.doc_id % 3 <> 0
+                  AND regexp_replace(lower(trim(s.text)), '\s+', ' ', 'g')
+                    = regexp_replace(lower(trim(n.text)), '\s+', ' ', 'g'))
+            ORDER BY n.doc_id
         """,
         "doc_metadata": """
             WITH m AS (

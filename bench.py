@@ -109,7 +109,8 @@ TRACKED_QUERIES = [
     "q_sliding_window", "q_value_percentiles", "q_order_lineitem_join",
     "q_orders_with_returns", "q_customers_no_f_orders",
     "extract_roundtrip", "dedup_exact", "dedup_minhash",
-    "dedup_simhash", "dedup_ngram",
+    "dedup_simhash", "dedup_ngram", "dedup_components",
+    "dedup_incremental",
     "text_quality", "knn_cosine", "media_decode", "media_pipeline",
     "chunk_transcripts", "training_corpus",
 ]

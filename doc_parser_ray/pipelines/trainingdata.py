@@ -28,7 +28,9 @@ from doc_parser_ray.stages.dedup import (
     add_exact_key,
     connected_components,
     exact_dedup,
+    incremental_dedup,
     minhash_lsh_pairs,
+    near_dedup,
     ngram_jaccard_pairs,
     simhash_pairs,
     embedding_dedup_pairs,
@@ -147,6 +149,46 @@ def dedup_components(sf_dir: str, threshold: float = 0.5) -> pa.Table:
                                  right_col="right_id")
     tab = _collect_pairs(comps, ["doc_id", "component"],
                          [pa.int64(), pa.int64()])
+    return tab.sort_by([("doc_id", "ascending")])
+
+
+def dedup_near_survivors(sf_dir: str, threshold: float = 0.5) -> pa.Table:
+    """END-TO-END near-dedup: exact trigram-Jaccard pairs (≥ threshold)
+    → connected components → keep min-id per cluster → anti shuffle
+    join back onto the corpus. Returns the surviving doc_ids — the
+    keep-set a training run would actually read. SQL-verifiable: the
+    recursive-CTE component labels identify the loser set exactly."""
+    pairs = ngram_jaccard_pairs(
+        _docs(sf_dir), id_col="doc_id", text_col="text", k=3,
+        threshold=threshold, max_shingle_df=None,
+    )
+    out = near_dedup(_docs(sf_dir, columns=["doc_id"]), pairs,
+                     id_col="doc_id")
+    tab = _collect_pairs(out.select_columns(["doc_id"]),
+                         ["doc_id"], [pa.int64()])
+    return tab.sort_by([("doc_id", "ascending")])
+
+
+def dedup_incremental(sf_dir: str) -> pa.Table:
+    """Incremental exact dedup: docs with doc_id % 3 == 0 play the NEW
+    crawl shard, the rest the already-ingested corpus; a new doc is
+    dropped iff its normalized-text hash appears anywhere in the seen
+    side. Returns surviving new doc_ids — the everyday 100 TB op
+    (dedup this week's crawl against the lake, moving only hashes)."""
+    def side(want_new: bool):
+        def pick(batch: pa.Table) -> pa.Table:
+            mod = pc.subtract(
+                batch.column("doc_id"),
+                pc.multiply(pc.divide(batch.column("doc_id"), 3), 3))
+            mask = pc.equal(mod, 0) if want_new else pc.not_equal(mod, 0)
+            return batch.filter(mask)
+        return _docs(sf_dir).map_batches(pick, batch_format="pyarrow",
+                                         zero_copy_batch=True)
+
+    new_ds, seen_ds = side(True), side(False)
+    out = incremental_dedup(new_ds, seen_ds, text_col="text")
+    tab = _collect_pairs(out.select_columns(["doc_id"]),
+                         ["doc_id"], [pa.int64()])
     return tab.sort_by([("doc_id", "ascending")])
 
 

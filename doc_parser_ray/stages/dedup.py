@@ -912,3 +912,64 @@ def connected_components(pairs, *, left_col: str = "left_id",
                               zero_copy_batch=True).materialize()
     return keyed.groupby("pkey").map_groups(label_min,
                                             batch_format="pyarrow")
+
+
+def near_dedup(ds, pairs, *, id_col: str = "doc_id",
+               left_col: str = "left_id", right_col: str = "right_id",
+               num_partitions: int = 32):
+    """Keep-one-per-cluster filter: compose any near-duplicate pair
+    stream of this module with :func:`connected_components`, then drop
+    every doc that is NOT its cluster's representative (min id).
+
+    Scale shape: the loser set (node != component) is derived without
+    leaving the cluster and removed with a key-only anti shuffle join —
+    nothing is broadcast or collected on the driver, so a loser set of
+    any size (the common case at 100 TB: 30–50 % of a crawl) streams.
+    """
+    from doc_parser_ray.stages.joins import shuffle_hash_join
+
+    comps = connected_components(pairs, left_col=left_col,
+                                 right_col=right_col,
+                                 num_partitions=num_partitions)
+
+    def losers(batch: pa.Table) -> pa.Table:
+        mask = pc.not_equal(batch.column("node"), batch.column("component"))
+        return batch.filter(mask).select(["node"])
+
+    loser_ids = comps.map_batches(losers, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    return shuffle_hash_join(ds, loser_ids, left_key=id_col,
+                             right_key="node", how="anti",
+                             num_partitions=num_partitions)
+
+
+def incremental_dedup(new_ds, seen_ds, *, text_col: str = "text",
+                      num_partitions: int = 32):
+    """Dedup a NEW corpus shard against an already-ingested corpus:
+    rows of ``new_ds`` whose normalized-text hash appears anywhere in
+    ``seen_ds`` are dropped (the incremental half of exact dedup — the
+    everyday 100 TB operation: dedup this week's crawl against the
+    lake without re-shuffling the lake's text).
+
+    Both sides reduce to (dedup_key) projections before the exchange:
+    the anti join moves 20-byte hashes only, never document text, and
+    the seen side is pre-deduped per batch (a combiner — the global
+    distinct is implicit in the join) so the exchange volume tracks
+    per-batch DISTINCT keys, not corpus rows. Exact — no bloom
+    false positives — hence SQL-oracle-checkable.
+    """
+    from doc_parser_ray.stages.joins import shuffle_hash_join
+
+    def key_only(batch: pa.Table) -> pa.Table:
+        keys = add_exact_key(batch, text_col).column("dedup_key")
+        return pa.table({"dedup_key": pc.unique(keys)})
+
+    seen_keys = seen_ds.map_batches(key_only, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    new_keyed = new_ds.map_batches(
+        lambda b: add_exact_key(b, text_col), batch_format="pyarrow",
+        zero_copy_batch=True)
+    out = shuffle_hash_join(new_keyed, seen_keys, left_key="dedup_key",
+                            right_key="dedup_key", how="anti",
+                            num_partitions=num_partitions)
+    return out.drop_columns(["dedup_key"])

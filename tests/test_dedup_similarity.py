@@ -313,3 +313,38 @@ class TestConnectedComponents:
     def test_star_graph_hub(self):
         # high-degree hub (the case large-star exists for)
         self._run([(500, i) for i in range(120)])
+
+
+class TestNearAndIncrementalDedup:
+    def test_near_dedup_keeps_cluster_min(self):
+        from doc_parser_ray.stages.dedup import near_dedup
+        docs = pa.table({"doc_id": pa.array(range(10), pa.int64())})
+        # clusters {1,2,3} and {7,8}; 0,4,5,6,9 untouched singletons
+        pairs = pa.table({
+            "left_id": pa.array([1, 2, 7], pa.int64()),
+            "right_id": pa.array([2, 3, 8], pa.int64()),
+        })
+        out = collect_table(near_dedup(ray.data.from_arrow(docs),
+                                       ray.data.from_arrow(pairs),
+                                       num_partitions=4))
+        kept = sorted(out.column("doc_id").to_pylist())
+        assert kept == [0, 1, 4, 5, 6, 7, 9]
+
+    def test_incremental_dedup_drops_seen_text(self):
+        from doc_parser_ray.stages.dedup import incremental_dedup
+        seen = pa.table({
+            "doc_id": pa.array([100, 101], pa.int64()),
+            "text": ["The  Quick brown fox", "something else"],
+        })
+        new = pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            # 1 matches seen after normalization; 2 is novel;
+            # 3 duplicates 2 inside the new shard (kept — intra-shard
+            # dedup is exact_dedup's job, not the incremental filter's)
+            "text": ["the quick BROWN fox", "fresh content", "fresh content"],
+        })
+        out = collect_table(incremental_dedup(
+            ray.data.from_arrow(new), ray.data.from_arrow(seen),
+            num_partitions=4))
+        assert sorted(out.column("doc_id").to_pylist()) == [2, 3]
+        assert sorted(out.column_names) == ["doc_id", "text"]
