@@ -130,6 +130,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_near_survivors": T.dedup_near_survivors,
         "dedup_incremental": T.dedup_incremental,
         "dedup_embedding": T.dedup_embedding,
+        # corpus mixing + eval-set decontamination
+        "sample_stratified": T.sample_stratified,
+        "decontaminate_corpus": T.decontaminate_corpus,
         # chunking (C1-C5)
         "chunk_transcripts": T.chunk_transcripts,
         # C7 legacy recursive-character splitter path
@@ -491,6 +494,46 @@ def oracle_sql() -> dict[str, str]:
                   AND regexp_replace(lower(trim(s.text)), '\s+', ' ', 'g')
                     = regexp_replace(lower(trim(n.text)), '\s+', ' ', 'g'))
             ORDER BY n.doc_id
+        """,
+        "sample_stratified": """
+            SELECT doc_id, lang FROM documents
+            WHERE (doc_id * 2246822519) % 10000 <
+                  CASE lang WHEN 'en' THEN 8000
+                            WHEN 'zh' THEN 5000
+                            ELSE 2500 END
+            ORDER BY doc_id
+        """,
+        "decontaminate_corpus": r"""
+            WITH d AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\s+') AS w
+                FROM documents
+                WHERE trim(text) <> ''
+            ),
+            g AS (
+                SELECT doc_id,
+                       CASE WHEN len(w) >= 5
+                            THEN list_distinct(list_transform(
+                                generate_series(1, len(w) - 4),
+                                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                     || ' ' || w[i+3] || ' ' || w[i+4]))
+                            ELSE [] END AS gs
+                FROM d
+            ),
+            bench AS (
+                SELECT DISTINCT g
+                FROM (SELECT unnest(gs) AS g FROM g WHERE doc_id % 31 = 0)
+            ),
+            bad AS (
+                SELECT DISTINCT c.doc_id
+                FROM (SELECT doc_id, unnest(gs) AS g
+                      FROM g WHERE doc_id % 31 <> 0) c
+                JOIN bench USING (g)
+            )
+            SELECT doc_id FROM documents
+            WHERE doc_id % 31 <> 0
+              AND doc_id NOT IN (SELECT doc_id FROM bad)
+            ORDER BY doc_id
         """,
         "doc_metadata": """
             WITH m AS (

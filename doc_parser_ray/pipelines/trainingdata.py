@@ -192,6 +192,46 @@ def dedup_incremental(sf_dir: str) -> pa.Table:
     return tab.sort_by([("doc_id", "ascending")])
 
 
+def sample_stratified(sf_dir: str) -> pa.Table:
+    """Deterministic per-language sampling (mixing knob): keep 80 % of
+    en, 50 % of zh, 25 % of everything else, by a multiplicative hash
+    of doc_id — reproducible in pure int64 SQL on both sides."""
+    from doc_parser_ray.stages.sampling import stratified_sample
+
+    out = stratified_sample(
+        _docs(sf_dir, columns=["doc_id", "lang"]),
+        rates_e4={"en": 8000, "zh": 5000}, default_e4=2500,
+        stratum_col="lang", id_col="doc_id")
+    tab = _collect_pairs(out, ["doc_id", "lang"],
+                         [pa.int64(), pa.string()])
+    return tab.sort_by([("doc_id", "ascending")])
+
+
+def decontaminate_corpus(sf_dir: str, n: int = 5) -> pa.Table:
+    """Benchmark decontamination: docs with doc_id % 31 == 0 play the
+    eval set; every other doc sharing >=1 word 5-gram with it is
+    dropped. Returns the clean training doc_ids. The eval n-gram set
+    is broadcast once (ray.put) — the corpus streams, no shuffle."""
+    from doc_parser_ray.stages.decontam import (
+        collect_benchmark_ngrams, decontaminate)
+
+    def side(want_eval: bool):
+        def pick(batch: pa.Table) -> pa.Table:
+            mod = pc.subtract(
+                batch.column("doc_id"),
+                pc.multiply(pc.divide(batch.column("doc_id"), 31), 31))
+            mask = pc.equal(mod, 0) if want_eval else pc.not_equal(mod, 0)
+            return batch.filter(mask)
+        return _docs(sf_dir).map_batches(pick, batch_format="pyarrow",
+                                         zero_copy_batch=True)
+
+    bench_ref = collect_benchmark_ngrams(side(True), n=n)
+    out = decontaminate(side(False), bench_ref, n=n, keep="clean")
+    tab = _collect_pairs(out.select_columns(["doc_id"]),
+                         ["doc_id"], [pa.int64()])
+    return tab.sort_by([("doc_id", "ascending")])
+
+
 def dedup_embedding(sf_dir: str) -> pa.Table:
     """Embedding-cosine near-duplicate pairs (cosine ≥ 0.95)."""
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",

@@ -1,0 +1,65 @@
+"""Deterministic corpus sampling — the mixing knob of a training-data
+pipeline (up-/down-weight languages, sources, or quality tiers without
+a shuffle and without randomness that breaks reproducibility).
+
+The reference has no corpus-level sampling (its scope stops at one
+document); this is a required extension for the 100 TB pipeline, same
+family as ``pipelines/trainingdata.py::train_split``.
+
+Scale shape: a single stateless ``map_batches`` filter — no shuffle,
+no driver round-trip, no RNG state. The keep/drop decision is a pure
+function of the id (multiplicative hash, int64 arithmetic exactly
+reproducible in SQL), so the sample is stable across runs, cluster
+sizes, and block orderings, and a resumed run keeps the same rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# xxhash prime2 — a different odd multiplier than train_split's
+# 2654435761 so the sample is decorrelated from the split assignment.
+SAMPLE_MULT = 2246822519
+SAMPLE_MOD = 10_000  # rates are basis points (1/100 of a percent)
+
+
+def _bucket(ids: np.ndarray) -> np.ndarray:
+    # ids up to ~2^41 stay inside int64 under this multiplier; testdata
+    # ids are dense small ints, so no wraparound on either side
+    return (ids.astype(np.int64) * np.int64(SAMPLE_MULT)) % SAMPLE_MOD
+
+
+def stratified_sample(ds, *, rates_e4: dict[str, int], default_e4: int,
+                      stratum_col: str = "lang", id_col: str = "doc_id"):
+    """Keep each row iff ``hash(id) % 10000 < rate_e4[stratum]`` —
+    per-stratum Bernoulli sampling with a deterministic coin.
+
+    ``rates_e4`` maps stratum value -> keep-rate in basis points
+    (8000 = 80 %); strata not listed use ``default_e4``. Vectorized:
+    the stratum column is dictionary-encoded once per batch and the
+    rate lookup is a numpy ``take`` over the codes.
+    """
+    def keep(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return batch
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        bucket = _bucket(ids)
+        col = batch.column(stratum_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if isinstance(col, pa.ChunkedArray):  # older pyarrow keeps chunking
+            col = col.chunk(0)
+        enc = pc.dictionary_encode(col)
+        dict_vals = enc.dictionary.to_pylist()
+        per_code = np.array(
+            [rates_e4.get(v, default_e4) for v in dict_vals],
+            dtype=np.int64)
+        codes = np.asarray(enc.indices)
+        mask = bucket < per_code[codes]
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow",
+                          zero_copy_batch=True)

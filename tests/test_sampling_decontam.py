@@ -1,0 +1,86 @@
+"""Stratified sampling + benchmark decontamination with planted truth."""
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from doc_parser_ray.stages.decontam import (
+    collect_benchmark_ngrams,
+    decontaminate,
+)
+from doc_parser_ray.stages.sampling import SAMPLE_MOD, SAMPLE_MULT, stratified_sample
+from doc_parser_ray.util import collect_table
+
+
+class TestStratifiedSample:
+    def test_matches_hash_rule_per_stratum(self):
+        n = 400
+        ids = np.arange(n, dtype=np.int64)
+        langs = ["en", "ko", "de", "en"] * (n // 4)
+        tab = pa.table({"doc_id": pa.array(ids),
+                        "lang": pa.array(langs, pa.string())})
+        rates = {"en": 9000, "ko": 1000}
+        out = collect_table(stratified_sample(
+            ray.data.from_arrow(tab), rates_e4=rates, default_e4=5000,
+            stratum_col="lang", id_col="doc_id"))
+        got = sorted(out.column("doc_id").to_pylist())
+        bucket = (ids * np.int64(SAMPLE_MULT)) % SAMPLE_MOD
+        want = sorted(
+            int(i) for i, l in zip(ids, langs)
+            if bucket[i] < rates.get(l, 5000))
+        assert got == want
+        # every stratum is actually sampled at a distinct rate
+        kept = set(got)
+        per = {l: sum(1 for i, ll in zip(ids, langs)
+                      if ll == l and int(i) in kept) for l in ("en", "ko", "de")}
+        assert per["en"] > per["de"] > per["ko"]
+
+    def test_deterministic_across_runs(self):
+        tab = pa.table({"doc_id": pa.array(range(100), pa.int64()),
+                        "lang": pa.array(["en"] * 100, pa.string())})
+        runs = [sorted(collect_table(stratified_sample(
+            ray.data.from_arrow(tab), rates_e4={}, default_e4=3000,
+        )).column("doc_id").to_pylist()) for _ in range(2)]
+        assert runs[0] == runs[1]
+
+
+class TestDecontaminate:
+    BENCH = ["the secret benchmark answer is forty two exactly",
+             "short"]
+    CORPUS = [
+        # 0: contains the planted eval 5-gram "secret benchmark answer is forty"
+        "we know the secret benchmark answer is forty two and more text",
+        # 1: clean
+        "completely unrelated text about rivers and mountains in spring",
+        # 2: shorter than n -> no grams -> clean by the standard rule
+        "tiny doc",
+        # 3: shares words but no full 5-gram
+        "the secret answer benchmark is two forty exactly reversed order",
+    ]
+
+    def _run(self, keep):
+        bench = pa.table({"doc_id": pa.array([100, 101], pa.int64()),
+                          "text": pa.array(self.BENCH, pa.string())})
+        corpus = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                           "text": pa.array(self.CORPUS, pa.string())})
+        ref = collect_benchmark_ngrams(ray.data.from_arrow(bench), n=5)
+        out = collect_table(decontaminate(
+            ray.data.from_arrow(corpus), ref, n=5, keep=keep))
+        return sorted(out.column("doc_id").to_pylist())
+
+    def test_clean_drops_overlapping_doc(self):
+        assert self._run("clean") == [1, 2, 3]
+
+    def test_contaminated_arm_flags_it(self):
+        assert self._run("contaminated") == [0]
+
+    def test_empty_benchmark_keeps_everything(self):
+        corpus = pa.table({"doc_id": pa.array(range(3), pa.int64()),
+                           "text": pa.array(self.CORPUS[:3], pa.string())})
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "text": pa.array([], pa.string())})
+        ref = collect_benchmark_ngrams(ray.data.from_arrow(empty), n=5)
+        out = collect_table(decontaminate(
+            ray.data.from_arrow(corpus), ref, n=5))
+        assert sorted(out.column("doc_id").to_pylist()) == [0, 1, 2]
