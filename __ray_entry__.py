@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": T.dedup_embedding,
         # corpus mixing + eval-set decontamination
         "sample_stratified": T.sample_stratified,
+        "mix_epochs": T.mix_epochs,
         "decontaminate_corpus": T.decontaminate_corpus,
         # chunking (C1-C5)
         "chunk_transcripts": T.chunk_transcripts,
@@ -494,6 +495,26 @@ def oracle_sql() -> dict[str, str]:
                   AND regexp_replace(lower(trim(s.text)), '\s+', ' ', 'g')
                     = regexp_replace(lower(trim(n.text)), '\s+', ' ', 'g'))
             ORDER BY n.doc_id
+        """,
+        "mix_epochs": """
+            WITH t AS (
+                SELECT doc_id,
+                       CASE lang WHEN 'en' THEN 15000
+                                 WHEN 'zh' THEN 25000
+                                 ELSE 10000 END AS w
+                FROM documents
+            ),
+            r AS (
+                SELECT doc_id,
+                       w // 10000
+                       + CASE WHEN (doc_id * 2246822519) % 10000 < w % 10000
+                              THEN 1 ELSE 0 END AS reps
+                FROM t
+            )
+            SELECT doc_id,
+                   unnest(generate_series(1, CAST(reps AS BIGINT))) AS copy
+            FROM r WHERE reps > 0
+            ORDER BY doc_id, copy
         """,
         "sample_stratified": """
             SELECT doc_id, lang FROM documents

@@ -207,6 +207,21 @@ def sample_stratified(sf_dir: str) -> pa.Table:
     return tab.sort_by([("doc_id", "ascending")])
 
 
+def mix_epochs(sf_dir: str) -> pa.Table:
+    """Deterministic epoch-weighted upsampling: en 1.5 epochs, zh 2.5,
+    everything else 1.0 — each doc emitted floor(w) times plus one more
+    for the hash-chosen fractional share. Returns (doc_id, copy)."""
+    from doc_parser_ray.stages.sampling import epoch_mix
+
+    out = epoch_mix(
+        _docs(sf_dir, columns=["doc_id", "lang"]),
+        weights_e4={"en": 15000, "zh": 25000}, default_e4=10000,
+        stratum_col="lang", id_col="doc_id")
+    tab = _collect_pairs(out.select_columns(["doc_id", "copy"]),
+                         ["doc_id", "copy"], [pa.int64(), pa.int64()])
+    return tab.sort_by([("doc_id", "ascending"), ("copy", "ascending")])
+
+
 def decontaminate_corpus(sf_dir: str, n: int = 5) -> pa.Table:
     """Benchmark decontamination: docs with doc_id % 31 == 0 play the
     eval set; every other doc sharing >=1 word 5-gram with it is

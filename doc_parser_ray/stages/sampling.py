@@ -63,3 +63,46 @@ def stratified_sample(ds, *, rates_e4: dict[str, int], default_e4: int,
 
     return ds.map_batches(keep, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def epoch_mix(ds, *, weights_e4: dict[str, int], default_e4: int = 10_000,
+              stratum_col: str = "lang", id_col: str = "doc_id",
+              copy_col: str = "copy"):
+    """Deterministic epoch weighting: emit each row ``w`` times, where
+    a stratum weight of 25000 e4 (= 2.5 epochs) yields 2 copies always
+    plus a 3rd for the hash-chosen 50 % of ids. This is the upsampling
+    half of corpus mixing (stratified_sample is the downsampling half);
+    fractional parts use the same multiplicative coin, so mixtures are
+    reproducible across runs and cluster sizes with no RNG state.
+
+    Output = input columns + ``copy_col`` (1..reps per source row).
+    Vectorized: reps per row via the dictionary-code lookup, the fanout
+    is one ``take`` on np.repeat indices — no Python per row, and rows
+    never leave their batch (a pure map, no shuffle).
+    """
+    def fan(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return batch.append_column(copy_col,
+                                       pa.array([], pa.int64()))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        bucket = _bucket(ids)
+        col = batch.column(stratum_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if isinstance(col, pa.ChunkedArray):
+            col = col.chunk(0)
+        enc = pc.dictionary_encode(col)
+        per_code = np.array(
+            [weights_e4.get(v, default_e4)
+             for v in enc.dictionary.to_pylist()], dtype=np.int64)
+        w = per_code[np.asarray(enc.indices)]
+        reps = w // SAMPLE_MOD + (bucket < (w % SAMPLE_MOD))
+        idx = np.repeat(np.arange(n), reps)
+        ends = np.cumsum(reps)
+        copy = np.arange(len(idx)) - np.repeat(ends - reps, reps) + 1
+        out = batch.take(pa.array(idx))
+        return out.append_column(copy_col, pa.array(copy, pa.int64()))
+
+    return ds.map_batches(fan, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -9,7 +9,12 @@ from doc_parser_ray.stages.decontam import (
     collect_benchmark_ngrams,
     decontaminate,
 )
-from doc_parser_ray.stages.sampling import SAMPLE_MOD, SAMPLE_MULT, stratified_sample
+from doc_parser_ray.stages.sampling import (
+    SAMPLE_MOD,
+    SAMPLE_MULT,
+    epoch_mix,
+    stratified_sample,
+)
 from doc_parser_ray.util import collect_table
 
 
@@ -43,6 +48,46 @@ class TestStratifiedSample:
             ray.data.from_arrow(tab), rates_e4={}, default_e4=3000,
         )).column("doc_id").to_pylist()) for _ in range(2)]
         assert runs[0] == runs[1]
+
+
+class TestEpochMix:
+    def test_matches_hash_rule(self):
+        n = 300
+        ids = np.arange(n, dtype=np.int64)
+        langs = (["hi", "lo", "z"] * n)[:n]
+        tab = pa.table({"doc_id": pa.array(ids),
+                        "lang": pa.array(langs, pa.string())})
+        weights = {"hi": 25000, "lo": 5000, "z": 10000}  # 2.5 / 0.5 / 1.0
+        out = collect_table(epoch_mix(
+            ray.data.from_arrow(tab), weights_e4=weights,
+            default_e4=10000))
+        got = sorted(zip(out.column("doc_id").to_pylist(),
+                         out.column("copy").to_pylist()))
+        bucket = (ids * np.int64(SAMPLE_MULT)) % SAMPLE_MOD
+        want = []
+        for i, l in zip(ids, langs):
+            w = weights[l]
+            reps = w // SAMPLE_MOD + (1 if bucket[i] < w % SAMPLE_MOD else 0)
+            want += [(int(i), c) for c in range(1, reps + 1)]
+        assert got == sorted(want)
+        # 2.5-epoch stratum really averages ~2.5 copies per doc
+        hi = [c for d, c in got if langs[d] == "hi"]
+        n_hi = sum(1 for l in langs if l == "hi")
+        assert 2.2 < len(hi) / n_hi < 2.8
+        # 0.5-epoch stratum drops roughly half
+        n_lo_kept = len({d for d, _ in got if langs[d] == "lo"})
+        n_lo = sum(1 for l in langs if l == "lo")
+        assert 0.3 < n_lo_kept / n_lo < 0.7
+
+    def test_copies_carry_all_columns(self):
+        tab = pa.table({"doc_id": pa.array([7], pa.int64()),
+                        "lang": pa.array(["x"], pa.string()),
+                        "text": pa.array(["payload"], pa.string())})
+        out = collect_table(epoch_mix(
+            ray.data.from_arrow(tab), weights_e4={"x": 30000}))
+        assert out.num_rows == 3
+        assert set(out.column("text").to_pylist()) == {"payload"}
+        assert sorted(out.column("copy").to_pylist()) == [1, 2, 3]
 
 
 class TestDecontaminate:
