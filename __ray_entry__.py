@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_asof_join": R.q_asof_join,
         "q_interval_join": R.q_interval_join,
         "q_value_percentiles": R.q_value_percentiles,
+        "q_group_percentiles": R.q_group_percentiles,
         "q_sliding_window": R.q_sliding_window,
         # big⋈big shuffle hash join family (inner / semi / anti)
         "q_order_lineitem_join": R.q_order_lineitem_join,
@@ -130,6 +131,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_near_survivors": T.dedup_near_survivors,
         "dedup_incremental": T.dedup_incremental,
         "dedup_embedding": T.dedup_embedding,
+        "hot_spans": T.hot_spans,
+        "hot_span_mask": T.hot_span_mask,
         # corpus mixing + eval-set decontamination
         "sample_stratified": T.sample_stratified,
         "mix_epochs": T.mix_epochs,
@@ -145,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": T.pii_redact,
         "doc_repetition": T.doc_repetition,
         "corpus_vocab": T.corpus_vocab,
+        "doc_top_terms": T.doc_top_terms,
         "train_split": T.train_split,
         "html_boilerplate": T.html_boilerplate,
         "approx_distinct_users": T.approx_distinct_users,
@@ -337,6 +341,31 @@ def oracle_sql() -> dict[str, str]:
                    ) AS BIGINT) AS sum7_c
             FROM orders ORDER BY o_orderkey
         """,
+        "q_group_percentiles": """
+            WITH v AS (
+                SELECT o_orderpriority,
+                       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                           AS value_c
+                FROM orders
+            ),
+            h AS (
+                SELECT o_orderpriority, value_c,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM v GROUP BY o_orderpriority, value_c
+            ),
+            cum AS (
+                SELECT o_orderpriority, value_c,
+                       sum(c) OVER (PARTITION BY o_orderpriority
+                                    ORDER BY value_c) AS cc,
+                       sum(c) OVER (PARTITION BY o_orderpriority) AS n
+                FROM h
+            )
+            SELECT o_orderpriority, pct, MIN(value_c) AS value_c
+            FROM cum CROSS JOIN (SELECT unnest([50, 90]) AS pct) q
+            WHERE cc * 100 >= pct * n
+            GROUP BY o_orderpriority, pct
+            ORDER BY o_orderpriority, pct
+        """,
         "q_value_percentiles": """
             WITH h AS (
                 SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c
@@ -375,6 +404,61 @@ def oracle_sql() -> dict[str, str]:
             SELECT MIN(doc_id) AS doc_id
             FROM documents
             GROUP BY substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), 1, 40)
+            ORDER BY doc_id
+        """,
+        "hot_spans": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ),
+            grams AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(1, len(w) - 2),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+                FROM toks
+            )
+            SELECT g AS ngram, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+            FROM grams GROUP BY g
+            HAVING count(DISTINCT doc_id) >= 4
+            ORDER BY df DESC, ngram ASC
+        """,
+        "hot_span_mask": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ),
+            pos AS (
+                SELECT doc_id,
+                       unnest(generate_series(1, len(w) - 2)) AS i,
+                       w
+                FROM toks
+            ),
+            grams AS (
+                SELECT doc_id, i,
+                       w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+                FROM pos
+            ),
+            hotg AS (
+                SELECT g FROM grams GROUP BY g
+                HAVING count(DISTINCT doc_id) >= 4
+            ),
+            hits AS (
+                SELECT doc_id, i FROM grams JOIN hotg USING (g)
+            ),
+            covered AS (
+                SELECT DISTINCT doc_id, i + u AS j
+                FROM hits CROSS JOIN
+                     (SELECT unnest(generate_series(0, 2)) AS u) offs
+            ),
+            nh AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hot
+                FROM hits GROUP BY doc_id
+            ),
+            cov AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed
+                FROM covered GROUP BY doc_id
+            )
+            SELECT doc_id, n_hot, n_removed
+            FROM nh JOIN cov USING (doc_id)
             ORDER BY doc_id
         """,
         "dedup_ngram": r"""
@@ -725,6 +809,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT word, CAST(count(*) AS BIGINT) AS cnt
             FROM w GROUP BY word
             ORDER BY cnt DESC, word ASC LIMIT 50
+        """,
+        "doc_top_terms": """
+            WITH w AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+                FROM w GROUP BY doc_id, word
+            ),
+            df AS (
+                SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                FROM w GROUP BY word
+            ),
+            ranked AS (
+                SELECT doc_id, word, tf, df,
+                       row_number() OVER (
+                           PARTITION BY doc_id
+                           ORDER BY tf DESC, df ASC, word ASC) AS rnk
+                FROM tf JOIN df USING (word)
+            )
+            SELECT doc_id, word, tf, df FROM ranked WHERE rnk <= 3
+            ORDER BY doc_id, tf DESC, df ASC, word ASC
         """,
         "train_split": """
             SELECT doc_id,

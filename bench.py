@@ -110,7 +110,8 @@ TRACKED_QUERIES = [
     "q_orders_with_returns", "q_customers_no_f_orders",
     "extract_roundtrip", "dedup_exact", "dedup_minhash",
     "dedup_simhash", "dedup_ngram", "dedup_components",
-    "dedup_incremental", "sample_stratified", "decontaminate_corpus",
+    "dedup_incremental", "hot_spans", "sample_stratified",
+    "decontaminate_corpus",
     "text_quality", "knn_cosine", "media_decode", "media_pipeline",
     "chunk_transcripts", "training_corpus",
 ]

@@ -491,6 +491,82 @@ def q_value_percentiles(sf_dir: str,
     })
 
 
+def grouped_quantiles(values_ds, key_col: str, value_col: str,
+                      quantiles=(0.5, 0.9)) -> pa.Table:
+    """EXACT per-group order statistics without a global sort: blocks
+    pre-combine to (key, value, partial count), ONE groupby shuffle
+    moves one row per distinct (key, value) pair, and the rank pick is
+    a vectorized cumulative sum over the driver-side histogram.
+
+    Driver memory holds groups × distinct-values-per-group rows — the
+    dimension-grouped discretized-metric contract (same domain bound as
+    ``exact_quantiles``' small-histogram path; an unbounded value
+    domain belongs in its bucketed two-pass plan applied per group).
+
+    Rank rule matches the SQL oracle: the q-quantile of a group with n
+    rows is the smallest value whose cumulative count reaches
+    ceil(q*n) — computed in pure integers on both sides
+    (100*cum >= pct*n), so no float boundary can flip a hash.
+    """
+    import numpy as np
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"k": batch.column(key_col),
+                      "v": batch.column(value_col)})
+        g = t.group_by(["k", "v"]).aggregate([([], "count_all")])
+        return pa.table({"k": g.column("k"), "v": g.column("v"),
+                         "c": pc.cast(g.column("count_all"), pa.int64())})
+
+    keyed = values_ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    hist = collect_table(keyed.groupby(["k", "v"]).sum("c"))
+    if hist.num_rows == 0:
+        return pa.table({key_col: pa.array([], pa.string()),
+                         "pct": pa.array([], pa.int64()),
+                         "value_c": pa.array([], pa.int64())})
+    keys = hist.column("k").to_numpy(zero_copy_only=False)
+    vals = hist.column("v").to_numpy(zero_copy_only=False)
+    cnts = hist.column("sum(c)").to_numpy(zero_copy_only=False)
+    order = np.lexsort((vals, keys))
+    keys, vals, cnts = keys[order], vals[order], cnts[order]
+    new_grp = np.ones(len(keys), dtype=bool)
+    new_grp[1:] = keys[1:] != keys[:-1]
+    starts = np.flatnonzero(new_grp)
+    ends = np.append(starts[1:], len(keys))
+    out_k, out_p, out_v = [], [], []
+    for s, e in zip(starts, ends):
+        cum = np.cumsum(cnts[s:e])
+        n = int(cum[-1])
+        for q in quantiles:
+            pct = int(round(q * 100))
+            # smallest value with 100*cum >= pct*n  (== cum >= ceil)
+            i = int(np.searchsorted(cum * 100, pct * n))
+            out_k.append(keys[s])
+            out_p.append(pct)
+            out_v.append(int(vals[s + i]))
+    return pa.table({key_col: pa.array(out_k),
+                     "pct": pa.array(out_p, pa.int64()),
+                     "value_c": pa.array(out_v, pa.int64())})
+
+
+def q_group_percentiles(sf_dir: str) -> pa.Table:
+    """Median and p90 of the order total (cents) per order priority —
+    the grouped companion of ``q_value_percentiles``."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderpriority": batch.column("o_orderpriority"),
+            "value_c": cents(batch.column("o_totalprice")),
+        })
+
+    out = grouped_quantiles(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        "o_orderpriority", "value_c", quantiles=(0.5, 0.9))
+    return out.sort_by([("o_orderpriority", "ascending"),
+                        ("pct", "ascending")])
+
+
 def q_interval_join(sf_dir: str, window_days: int = 90) -> pa.Table:
     """Range (interval) join via the custom operator (stages/joins.py):
     every order matched to EVERY order of the same customer whose

@@ -34,6 +34,8 @@ from doc_parser_ray.stages.dedup import (
     ngram_jaccard_pairs,
     simhash_pairs,
     embedding_dedup_pairs,
+    hot_span_df,
+    mask_hot_spans,
 )
 from doc_parser_ray.stages.extract import extract_batch
 from doc_parser_ray.stages.similarity import knn_cosine
@@ -247,6 +249,26 @@ def decontaminate_corpus(sf_dir: str, n: int = 5) -> pa.Table:
     return tab.sort_by([("doc_id", "ascending")])
 
 
+def hot_spans(sf_dir: str, k: int = 3, min_df: int = 4) -> pa.Table:
+    """Corpus-wide hot word k-grams (exact-substring dedup candidates):
+    (ngram, df) for grams appearing in >= min_df documents. Hash-first
+    two-pass — see ``stages.dedup.hot_span_df``. SQL-expressible."""
+    return hot_span_df(_docs(sf_dir), text_col="text", k=k, min_df=min_df)
+
+
+def hot_span_mask(sf_dir: str, k: int = 3, min_df: int = 4) -> pa.Table:
+    """Per-doc hot-span coverage — the removal half of exact-substring
+    dedup: for every doc containing a hot k-gram, the number of hot gram
+    positions and the number of words a masking pass would delete
+    (union of overlapping [i, i+k) spans). SQL-expressible."""
+    hot = hot_span_df(_docs(sf_dir), text_col="text", k=k, min_df=min_df)
+    out = mask_hot_spans(_docs(sf_dir), hot.column("ngram"),
+                         text_col="text", id_col="doc_id", k=k)
+    tab = _collect_pairs(out, ["doc_id", "n_hot", "n_removed"],
+                         [pa.int64(), pa.int64(), pa.int64()])
+    return tab.sort_by([("doc_id", "ascending")])
+
+
 def dedup_embedding(sf_dir: str) -> pa.Table:
     """Embedding-cosine near-duplicate pairs (cosine ≥ 0.95)."""
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
@@ -403,6 +425,89 @@ def corpus_vocab(sf_dir: str, k: int = 50) -> pa.Table:
     out = tab.slice(0, k)
     return pa.table({"word": out.column("word"),
                      "cnt": pc.cast(out.column("cnt"), pa.int64())})
+
+
+def doc_top_terms(sf_dir: str, topk: int = 3) -> pa.Table:
+    """Most distinctive terms per document — the integer-exact TF-IDF
+    shape: per-doc term frequency, ranked by (tf DESC, global document
+    frequency ASC, word ASC), top ``topk`` per doc. Pure-integer ordering
+    keeps it bitwise SQL-comparable (a float idf would hash-diverge
+    between libm implementations).
+
+    Scale shape: global df is ONE small (word, df) aggregate — batches
+    pre-collapse to per-doc distinct words, the exchange moves (word,
+    partial df) only, Zipf keeps the vocab driver-small. It is then
+    hashed, sorted and ``ray.put`` ONCE; the per-doc tf + top-k pass is
+    local to each batch (docs never straddle batches), a searchsorted
+    lookup + one lexsort — the corpus itself never shuffles.
+    """
+    import numpy as np
+
+    from doc_parser_ray.stages.sketch import _hash64
+
+    def partial_df(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(batch.column("text"), pattern=" ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()  # parent indices reset per chunk
+        t = pa.table({
+            "word": pc.list_flatten(words),
+            "d": pc.list_parent_indices(words),
+        })
+        dd = t.group_by(["word", "d"]).aggregate([])
+        g = dd.group_by("word").aggregate([([], "count_all")])
+        return pa.table({"word": g.column("word"),
+                         "pdf": pc.cast(g.column("count_all"), pa.int64())})
+
+    keyed = _docs(sf_dir).select_columns(["text"]).map_batches(
+        partial_df, batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+    df_tab = _collect(keyed.groupby("word").sum("pdf"))
+    h = _hash64(df_tab.column("word"))
+    order = np.argsort(h)
+    df_ref = ray.put((h[order],
+                      df_tab.column("sum(pdf)").to_numpy()[order]))
+
+    def topk_batch(batch: pa.Table) -> pa.Table:
+        from doc_parser_ray.stages.joins import _worker_object
+
+        h_sorted, df_sorted = _worker_object(df_ref)
+        words = pc.split_pattern(batch.column("text"), pattern=" ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        t = pa.table({
+            "word": pc.list_flatten(words),
+            "d": pc.list_parent_indices(words),
+        })
+        tf = t.group_by(["d", "word"]).aggregate([([], "count_all")])
+        d = tf.column("d").to_numpy()
+        w = tf.column("word").to_numpy(zero_copy_only=False)
+        n = tf.column("count_all").to_numpy()
+        wh = _hash64(tf.column("word"))
+        dfv = df_sorted[np.searchsorted(h_sorted, wh)]
+        # primary doc, then tf desc, df asc, word asc (lexsort: last
+        # key is most significant)
+        o = np.lexsort((w, dfv, -n, d))
+        d, w, n, dfv = d[o], w[o], n[o], dfv[o]
+        run_start = np.zeros(len(d), dtype=np.int64)
+        if len(d) > 1:
+            new_run = np.flatnonzero(d[1:] != d[:-1]) + 1
+            run_start[new_run] = new_run
+            np.maximum.accumulate(run_start, out=run_start)
+        rank = np.arange(len(d)) - run_start
+        sel = rank < topk
+        ids = batch.column("doc_id").combine_chunks().take(
+            pa.array(d[sel], pa.int64()))
+        return pa.table({"doc_id": ids,
+                         "word": pa.array(w[sel].tolist(), pa.string()),
+                         "tf": pa.array(n[sel], pa.int64()),
+                         "df": pa.array(dfv[sel], pa.int64())})
+
+    out = _docs(sf_dir).map_batches(topk_batch, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    tab = _collect_pairs(out, ["doc_id", "word", "tf", "df"],
+                         [pa.int64(), pa.string(), pa.int64(), pa.int64()])
+    return tab.sort_by([("doc_id", "ascending"), ("tf", "descending"),
+                        ("df", "ascending"), ("word", "ascending")])
 
 
 def train_split(sf_dir: str, train_pct: int = 90) -> pa.Table:

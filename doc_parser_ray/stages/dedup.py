@@ -973,3 +973,184 @@ def incremental_dedup(new_ds, seen_ds, *, text_col: str = "text",
                             right_key="dedup_key", how="anti",
                             num_partitions=num_partitions)
     return out.drop_columns(["dedup_key"])
+
+
+# ------------------------------------ hot spans (exact-substring dedup)
+
+
+def _gram_positions(texts: pa.ChunkedArray | pa.Array, k: int):
+    """Word ``k``-gram strings and positions for every doc in a batch,
+    vectorized: ONE ``split_pattern`` pass, then numpy fancy-indexed gram
+    assembly over the flattened word array (object-dtype elementwise
+    concat — no per-row Python loop in the hot path).
+
+    Splits on a single space (matching SQL ``string_split(text, ' ')``)
+    so the oracle groups the exact same grams; normalization is the
+    caller's composition choice.
+
+    Returns ``(doc_idx, rel, grams)``: for each gram start, the batch-row
+    index of its doc, its 0-based word position within the doc, and the
+    gram string (numpy object array).
+    """
+    words = pc.split_pattern(texts, pattern=" ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    offs = words.offsets.to_numpy().astype(np.int64)
+    lens = offs[1:] - offs[:-1]
+    nst = np.maximum(lens - (k - 1), 0)
+    total = int(nst.sum())
+    doc_idx = np.repeat(np.arange(len(lens)), nst)
+    if total == 0:
+        return doc_idx, np.empty(0, np.int64), np.empty(0, object)
+    flat = words.values.to_numpy(zero_copy_only=False)
+    first = np.repeat(np.cumsum(nst) - nst, nst)
+    rel = np.arange(total, dtype=np.int64) - first
+    starts = rel + np.repeat(offs[:-1], nst)
+    grams = flat[starts]
+    for j in range(1, k):
+        grams = grams + " " + flat[starts + j]
+    return doc_idx, rel, grams
+
+
+def hot_span_df(ds, *, text_col: str = "text", k: int = 3, min_df: int = 4):
+    """Corpus-wide document frequency of word k-grams — the candidate-
+    mining half of exact-substring dedup (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499; the
+    RefinedWeb/Gopher "repeated passage" family). No reference
+    counterpart — corpus-level op the 100 TB pipeline needs.
+
+    Two passes, hash-first, so the shuffle never moves gram STRINGS
+    (k× corpus bytes at scale):
+
+      pass 1: per batch, grams are deduped per doc (df counts documents)
+              and pre-aggregated to (64-bit gram hash, partial df) — the
+              exchange moves 8-byte hashes, bounded by distinct grams per
+              block; one groupby-sum, then the ``min_df`` cut. The hot
+              set is driver-small BY CONSTRUCTION (repetition above
+              min_df is rare in any real corpus; the cut happens before
+              collection).
+      pass 2: re-stream the corpus, recover the STRINGS only for hot
+              hashes (broadcast once via ``ray.put``), per-batch
+              distinct, tiny driver-side join hash→string→df.
+
+    Returns a driver-side ``pa.Table`` (ngram, df) with df >= min_df,
+    sorted df desc then ngram asc. Exact (hash collisions would merge
+    grams; 64-bit xxhash makes that ~2^-64 per pair, and the oracle
+    gate would catch it).
+    """
+    from doc_parser_ray.stages.sketch import _hash64
+    from doc_parser_ray.util import collect_table
+
+    def partial_df(batch: pa.Table) -> pa.Table:
+        doc_idx, _, grams = _gram_positions(batch.column(text_col), k)
+        if len(grams) == 0:
+            return pa.table({"h": pa.array([], pa.int64()),
+                             "pdf": pa.array([], pa.int64())})
+        # int64 bit-view: Ray's groupby round-trips keys through
+        # Python ints, where uint64 > 2^63-1 overflows
+        h = _hash64(pa.array(grams, pa.string())).view(np.int64)
+        t = pa.table({"h": pa.array(h, pa.int64()),
+                      "d": pa.array(doc_idx, pa.int64())})
+        dd = t.group_by(["h", "d"], use_threads=False).aggregate([])
+        g = dd.group_by("h", use_threads=False).aggregate([([], "count_all")])
+        return pa.table({"h": g.column("h"),
+                         "pdf": pc.cast(g.column("count_all"), pa.int64())})
+
+    keyed = ds.select_columns([text_col]).map_batches(
+        partial_df, batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()  # boundary sampling would re-run the gram pass
+    df_ds = keyed.groupby("h").sum("pdf")
+    hot = collect_table(df_ds.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("sum(pdf)"),
+                                            pa.scalar(min_df, pa.int64()))),
+        batch_format="pyarrow", zero_copy_batch=True))
+    if hot.num_rows == 0:
+        return pa.table({"ngram": pa.array([], pa.string()),
+                         "df": pa.array([], pa.int64())})
+    hot = pa.table({"h": hot.column("h"),
+                    "df": pc.cast(hot.column("sum(pdf)"), pa.int64())})
+    hot_ref = ray.put(hot.column("h").combine_chunks())
+
+    def hot_names(batch: pa.Table) -> pa.Table:
+        from doc_parser_ray.stages.joins import _worker_object
+
+        arr = _worker_object(hot_ref)
+        _, _, grams = _gram_positions(batch.column(text_col), k)
+        empty = pa.table({"h": pa.array([], pa.int64()),
+                          "ngram": pa.array([], pa.string())})
+        if len(grams) == 0:
+            return empty
+        h = _hash64(pa.array(grams, pa.string())).view(np.int64)
+        t = pa.table({"h": pa.array(h, pa.int64()),
+                      "ngram": pa.array(grams, pa.string())})
+        t = t.filter(pc.is_in(t.column("h"), arr))
+        if t.num_rows == 0:
+            return empty
+        return t.group_by(["h", "ngram"], use_threads=False).aggregate([])
+
+    named = collect_table(ds.select_columns([text_col]).map_batches(
+        hot_names, batch_format="pyarrow", zero_copy_batch=True))
+    named = named.group_by(["h", "ngram"]).aggregate([])
+    out = named.join(hot, keys="h").select(["ngram", "df"])
+    return out.sort_by([("df", "descending"), ("ngram", "ascending")])
+
+
+def mask_hot_spans(ds, hot_ngrams, *, text_col: str = "text",
+                   id_col: str = "doc_id", k: int = 3):
+    """Per-doc coverage of a hot-gram set (the removal half of
+    exact-substring dedup): ``n_hot`` counts k-gram positions whose gram
+    is hot; ``n_removed`` counts the words covered by at least one hot
+    position (the union of the [i, i+k) intervals — what a masking pass
+    would delete). The hot set is hashed once, sorted, ``ray.put`` once,
+    membership-tested per batch with a searchsorted (no Python set).
+
+    Returns a Dataset (id_col, n_hot, n_removed) for docs with
+    n_hot > 0 — streams, no shuffle at all.
+    """
+    from doc_parser_ray.stages.sketch import _hash64
+
+    if isinstance(hot_ngrams, (pa.Array, pa.ChunkedArray)):
+        hot_arr = hot_ngrams
+    else:
+        hot_arr = pa.array(list(hot_ngrams), pa.string())
+    hot_h = (np.sort(_hash64(hot_arr).view(np.int64)) if len(hot_arr)
+             else np.empty(0, np.int64))
+    hot_ref = ray.put(hot_h)
+
+    def cover(batch: pa.Table) -> pa.Table:
+        from doc_parser_ray.stages.joins import _worker_object
+
+        arr = _worker_object(hot_ref)
+        empty = pa.table({
+            id_col: pa.array([], batch.schema.field(id_col).type),
+            "n_hot": pa.array([], pa.int64()),
+            "n_removed": pa.array([], pa.int64())})
+        doc_idx, rel, grams = _gram_positions(batch.column(text_col), k)
+        if len(grams) == 0 or len(arr) == 0:
+            return empty
+        h = _hash64(pa.array(grams, pa.string())).view(np.int64)
+        pos = np.minimum(np.searchsorted(arr, h), len(arr) - 1)
+        hit = arr[pos] == h
+        if not hit.any():
+            return empty
+        d, s = doc_idx[hit], rel[hit]
+        # within a doc, starts ascend by construction → the interval
+        # union is a running min(gap, k) sum (first-in-doc contributes k)
+        contrib = np.full(len(s), k, dtype=np.int64)
+        if len(s) > 1:
+            same = d[1:] == d[:-1]
+            gaps = np.minimum(s[1:] - s[:-1], k)
+            contrib[1:][same] = gaps[same]
+        n = batch.num_rows
+        n_hot = np.bincount(d, minlength=n).astype(np.int64)
+        n_rm = np.zeros(n, dtype=np.int64)
+        np.add.at(n_rm, d, contrib)
+        sel = n_hot > 0
+        ids = batch.column(id_col).combine_chunks().take(
+            pa.array(np.flatnonzero(sel), pa.int64()))
+        return pa.table({id_col: ids,
+                         "n_hot": pa.array(n_hot[sel], pa.int64()),
+                         "n_removed": pa.array(n_rm[sel], pa.int64())})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        cover, batch_format="pyarrow", zero_copy_batch=True)

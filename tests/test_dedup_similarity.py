@@ -348,3 +348,93 @@ class TestNearAndIncrementalDedup:
             num_partitions=4))
         assert sorted(out.column("doc_id").to_pylist()) == [2, 3]
         assert sorted(out.column_names) == ["doc_id", "text"]
+
+
+class TestHotSpans:
+    """Exact-substring dedup candidate mining + masking (hot k-grams)."""
+
+    @staticmethod
+    def _corpus():
+        return pa.table({
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": pa.array([
+                "the quick brown fox jumps",     # "the quick brown" x1 here
+                "the quick brown dog sits",
+                "the quick brown cat naps",
+                "a b",                            # shorter than k -> no grams
+                "the quick brown the quick brown fox",  # twice in ONE doc
+            ], pa.string()),
+        })
+
+    def _brute_df(self, texts, k):
+        from collections import Counter
+        c = Counter()
+        for t in texts:
+            w = t.split(" ")
+            c.update({" ".join(w[i:i + k]) for i in range(len(w) - k + 1)})
+        return c
+
+    def test_gram_positions_match_python(self):
+        from doc_parser_ray.stages.dedup import _gram_positions
+        tab = self._corpus()
+        doc_idx, rel, grams = _gram_positions(tab.column("text"), 3)
+        got = {}
+        for d, r, g in zip(doc_idx, rel, grams):
+            got.setdefault(int(d), []).append((int(r), g))
+        for row, t in enumerate(tab.column("text").to_pylist()):
+            w = t.split(" ")
+            want = [(i, " ".join(w[i:i + 3])) for i in range(len(w) - 2)]
+            assert got.get(row, []) == want
+
+    def test_hot_span_df_matches_bruteforce(self):
+        from doc_parser_ray.stages.dedup import hot_span_df
+        tab = self._corpus()
+        out = hot_span_df(ray.data.from_arrow(tab), k=3, min_df=2)
+        brute = self._brute_df(tab.column("text").to_pylist(), 3)
+        want = sorted(((g, n) for g, n in brute.items() if n >= 2),
+                      key=lambda x: (-x[1], x[0]))
+        got = list(zip(out.column("ngram").to_pylist(),
+                       out.column("df").to_pylist()))
+        assert got == want
+        # doc 5 contains the gram twice but df counts documents once
+        assert ("the quick brown", 4) in got
+
+    def test_hot_span_df_empty_when_no_repeats(self):
+        from doc_parser_ray.stages.dedup import hot_span_df
+        tab = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                        "text": pa.array(["u v w x", "p q r s"])})
+        out = hot_span_df(ray.data.from_arrow(tab), k=3, min_df=2)
+        assert out.num_rows == 0
+        assert out.column_names == ["ngram", "df"]
+
+    def test_mask_hot_spans_interval_union(self):
+        from doc_parser_ray.stages.dedup import mask_hot_spans
+        tab = self._corpus()
+        out = collect_table(mask_hot_spans(
+            ray.data.from_arrow(tab), ["the quick brown"], k=3))
+        rows = {r["doc_id"]: r for r in out.to_pylist()}
+        # docs 1-3: one hot position covering 3 words
+        for d in (1, 2, 3):
+            assert rows[d]["n_hot"] == 1 and rows[d]["n_removed"] == 3
+        assert 4 not in rows  # too short, no grams
+        # doc 5: hot at word 0 and word 3 — disjoint spans, 6 words covered
+        assert rows[5]["n_hot"] == 2 and rows[5]["n_removed"] == 6
+
+    def test_mask_overlapping_spans_counted_once(self):
+        from doc_parser_ray.stages.dedup import mask_hot_spans
+        tab = pa.table({
+            "doc_id": pa.array([9], pa.int64()),
+            "text": pa.array(["a b c d e"], pa.string()),
+        })
+        # hot grams at positions 0 and 1 overlap on words {1, 2}
+        out = collect_table(mask_hot_spans(
+            ray.data.from_arrow(tab), ["a b c", "b c d"], k=3))
+        r = out.to_pylist()[0]
+        assert r["n_hot"] == 2
+        assert r["n_removed"] == 4  # words a b c d, counted once
+
+    def test_mask_empty_hot_set(self):
+        from doc_parser_ray.stages.dedup import mask_hot_spans
+        tab = self._corpus()
+        out = collect_table(mask_hot_spans(ray.data.from_arrow(tab), []))
+        assert out.num_rows == 0

@@ -47,3 +47,37 @@ class TestExactQuantiles:
         want = _naive(vals, self.QS)
         assert self._run(vals, 10**6) == want
         assert self._run(vals, 1) == want
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupedQuantiles:
+    def test_matches_per_group_naive(self):
+        from doc_parser_ray.pipelines.relational import grouped_quantiles
+
+        rng = np.random.RandomState(7)
+        keys = rng.choice(["a", "b", "c"], size=500).tolist()
+        vals = rng.randint(0, 40, size=500)  # heavy ties
+        ds = ray.data.from_arrow(pa.table({
+            "k": pa.array(keys, pa.string()),
+            "v": pa.array(vals, pa.int64()),
+        })).repartition(4)
+        out = grouped_quantiles(ds, "k", "v", quantiles=(0.5, 0.9))
+        got = {(r["k"], r["pct"]): r["value_c"] for r in out.to_pylist()}
+        for g in ("a", "b", "c"):
+            gv = vals[np.array(keys) == g]
+            for q, pct in ((0.5, 50), (0.9, 90)):
+                assert got[(g, pct)] == _naive(gv, [q])[0]
+
+    def test_single_row_groups_and_exact_boundary(self):
+        from doc_parser_ray.pipelines.relational import grouped_quantiles
+
+        # n=10 with q=0.5 → rank exactly 5 (100*cum >= 50*10 boundary)
+        tab = pa.table({
+            "k": pa.array(["x"] * 10 + ["solo"], pa.string()),
+            "v": pa.array(list(range(1, 11)) + [42], pa.int64()),
+        })
+        out = grouped_quantiles(ray.data.from_arrow(tab), "k", "v",
+                                quantiles=(0.5,))
+        got = {(r["k"], r["pct"]): r["value_c"] for r in out.to_pylist()}
+        assert got[("x", 50)] == 5
+        assert got[("solo", 50)] == 42
