@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": T.doc_fingerprints,
         # similarity search
         "knn_cosine": T.knn_documents,
+        "kmeans_clusters": T.kmeans_clusters,
         "knn_ivf": T.knn_documents_ivf,
         # multimodal (decode / resize / frame-sample / features)
         "media_decode": T.media_decode,

@@ -745,6 +745,25 @@ def pdf_chunk_provenance(sf_dir: str) -> pa.Table:
 # --------------------------------------------------------- similarity
 
 
+def kmeans_clusters(sf_dir: str, n_clusters: int = 4,
+                    n_iter: int = 10) -> pa.Table:
+    """Distributed Lloyd k-means over the embeddings table — per-cluster
+    sizes (rows-only: iterative float refinement has no SQL oracle; the
+    geometry is pinned by unit tests on separated blobs)."""
+    from doc_parser_ray.stages.similarity import kmeans_lloyd
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    _, assign_ds, _ = kmeans_lloyd(ds, n_clusters=n_clusters,
+                                   n_iter=n_iter, id_col="vec_id")
+    sizes = _collect(assign_ds.groupby("cluster").count())
+    sizes = sizes.rename_columns(["cluster", "n"])
+    return pa.table({
+        "cluster": pc.cast(sizes.column("cluster"), pa.int64()),
+        "n": pc.cast(sizes.column("n"), pa.int64()),
+    }).sort_by([("cluster", "ascending")])
+
+
 def knn_documents(sf_dir: str, n_queries: int = 5, k: int = 10) -> pa.Table:
     """Brute-force cosine top-k: first ``n_queries`` embeddings as the
     query matrix (broadcast), streamed corpus, global deterministic rank.

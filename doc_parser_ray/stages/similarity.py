@@ -190,3 +190,105 @@ def knn_cosine_ivf(ds, query_ids, query_vecs, *, k: int = 10,
                       concurrency=concurrency, bucket_col="ivf_bucket",
                       probe_map=probe_sets)
     return full, probe_sets
+
+
+# ---------------------------------------------------- distributed k-means
+
+
+def kmeans_lloyd(ds, *, n_clusters: int = 8, n_iter: int = 10,
+                 id_col: str = "vec_id", tol: float = 1e-6,
+                 dtype=np.float32):
+    """Distributed Lloyd k-means over an ``embedding`` column — the
+    iterative-broadcast shape: every iteration ``ray.put``s the (k × d)
+    centroid matrix ONCE, each block computes assignments with one
+    matmul and collapses to a fixed-size partial (k × d coordinate sums,
+    k counts, scalar inertia), so the reduce moves k·(d+1) floats per
+    block and the corpus itself never shuffles. Euclidean metric via the
+    argmin identity  |x−c|² = |x|² − (2x·c − |c|²).
+
+    Deterministic: init is the ``n_clusters`` vectors with the smallest
+    ids (per-block local min-k, driver merge — no sort); assignment ties
+    break toward the lower cluster index (argmax first-hit); empty
+    clusters keep their previous centroid. Stops early when no centroid
+    moves more than ``tol`` (squared L2).
+
+    Returns ``(centroids, assign_ds, inertia)`` where ``assign_ds``
+    streams (id_col, cluster). The projected input is materialized once
+    so the ``n_iter`` passes re-read object-store blocks (spilling, not
+    re-parsing parquet) — at 100 TB that is exactly the trade you want.
+    """
+    from doc_parser_ray.stages.joins import _worker_object
+    from doc_parser_ray.util import collect_table
+
+    proj = ds.select_columns([id_col, "embedding"]).materialize()
+
+    k = n_clusters
+
+    def local_mink(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy()
+        take = np.argsort(ids)[:k]
+        return pa.table({
+            id_col: pa.array(ids[take]),
+            "embedding": batch.column("embedding").combine_chunks().take(
+                pa.array(take, pa.int64())),
+        })
+
+    seed_tab = collect_table(proj.map_batches(
+        local_mink, batch_format="pyarrow", zero_copy_batch=True))
+    order = np.argsort(seed_tab.column(id_col).to_numpy())[:k]
+    cent = np.asarray(
+        seed_tab.column("embedding").take(
+            pa.array(order, pa.int64())).to_pylist(), dtype=dtype)
+    k = len(cent)  # fewer rows than clusters: degrade gracefully
+    d = cent.shape[1]
+
+    inertia = float("inf")
+    for _ in range(n_iter):
+        cent_ref = ray.put((cent, (cent * cent).sum(axis=1)))
+
+        def partials(batch: pa.Table) -> pa.Table:
+            C, cn = _worker_object(cent_ref)
+            X = np.asarray(batch.column("embedding").to_pylist(),
+                           dtype=dtype)
+            scores = 2.0 * (X @ C.T) - cn  # (n, k)
+            a = np.argmax(scores, axis=1)
+            sums = np.zeros((len(C), X.shape[1]), dtype=np.float64)
+            np.add.at(sums, a, X.astype(np.float64))
+            counts = np.bincount(a, minlength=len(C)).astype(np.int64)
+            part_inertia = float(
+                (X.astype(np.float64) ** 2).sum()
+                - scores[np.arange(len(a)), a].astype(np.float64).sum())
+            return pa.table({
+                "sums": pa.array([sums.ravel()], pa.list_(pa.float64())),
+                "counts": pa.array([counts], pa.list_(pa.int64())),
+                "inertia": pa.array([part_inertia], pa.float64()),
+            })
+
+        agg = collect_table(proj.map_batches(
+            partials, batch_format="pyarrow", zero_copy_batch=True))
+        sums = np.asarray(agg.column("sums").to_pylist(),
+                          dtype=np.float64).reshape(-1, k, d).sum(axis=0)
+        counts = np.asarray(agg.column("counts").to_pylist(),
+                            dtype=np.int64).sum(axis=0)
+        inertia = float(np.asarray(agg.column("inertia")).sum())
+        new_cent = cent.astype(np.float64).copy()
+        nz = counts > 0
+        new_cent[nz] = sums[nz] / counts[nz, None]
+        new_cent = new_cent.astype(dtype)
+        moved = float(((new_cent - cent) ** 2).sum(axis=1).max())
+        cent = new_cent
+        if moved <= tol:
+            break
+
+    cent_ref = ray.put((cent, (cent * cent).sum(axis=1)))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        C, cn = _worker_object(cent_ref)
+        X = np.asarray(batch.column("embedding").to_pylist(), dtype=dtype)
+        a = np.argmax(2.0 * (X @ C.T) - cn, axis=1).astype(np.int32)
+        return pa.table({id_col: batch.column(id_col),
+                         "cluster": pa.array(a, pa.int32())})
+
+    assign_ds = proj.map_batches(assign, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    return cent, assign_ds, inertia

@@ -438,3 +438,59 @@ class TestHotSpans:
         tab = self._corpus()
         out = collect_table(mask_hot_spans(ray.data.from_arrow(tab), []))
         assert out.num_rows == 0
+
+
+class TestKMeans:
+    """Distributed Lloyd k-means: blob recovery + monotone inertia."""
+
+    @staticmethod
+    def _blobs(n_per=40, d=8, seed=5):
+        rng = np.random.RandomState(seed)
+        centers = np.array([[10.0] * d, [-10.0] * d,
+                            [10.0] * (d // 2) + [-10.0] * (d - d // 2)])
+        X = np.concatenate([c + rng.randn(n_per, d) for c in centers])
+        labels = np.repeat(np.arange(3), n_per)
+        tab = pa.table({
+            "vec_id": pa.array(np.arange(len(X)), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in X],
+                                  pa.list_(pa.float32())),
+        })
+        return tab, labels
+
+    def test_recovers_separated_blobs(self):
+        from doc_parser_ray.stages.similarity import kmeans_lloyd
+
+        tab, labels = self._blobs()
+        ds = ray.data.from_arrow(tab).repartition(4)
+        cent, assign_ds, inertia = kmeans_lloyd(ds, n_clusters=3,
+                                                n_iter=15)
+        out = collect_table(assign_ds).sort_by([("vec_id", "ascending")])
+        got = np.asarray(out.column("cluster").to_pylist())
+        # each true blob maps to exactly one k-means cluster
+        for b in range(3):
+            assert len(set(got[labels == b].tolist())) == 1
+        assert len(set(got.tolist())) == 3
+        assert np.isfinite(inertia) and inertia > 0
+
+    def test_inertia_improves_with_iterations(self):
+        from doc_parser_ray.stages.similarity import kmeans_lloyd
+
+        tab, _ = self._blobs(seed=11)
+        ds = ray.data.from_arrow(tab).repartition(2)
+        _, _, i1 = kmeans_lloyd(ds, n_clusters=3, n_iter=1)
+        _, _, i9 = kmeans_lloyd(ds, n_clusters=3, n_iter=9)
+        assert i9 <= i1 + 1e-6
+
+    def test_more_clusters_than_rows_degrades(self):
+        from doc_parser_ray.stages.similarity import kmeans_lloyd
+
+        tab = pa.table({
+            "vec_id": pa.array([1, 2], pa.int64()),
+            "embedding": pa.array([[0.0, 0.0], [5.0, 5.0]],
+                                  pa.list_(pa.float32())),
+        })
+        cent, assign_ds, _ = kmeans_lloyd(ray.data.from_arrow(tab),
+                                          n_clusters=8, n_iter=3)
+        assert len(cent) == 2
+        out = collect_table(assign_ds)
+        assert sorted(out.column("cluster").to_pylist()) == [0, 1]
