@@ -149,6 +149,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": T.doc_repetition,
         "corpus_vocab": T.corpus_vocab,
         "doc_top_terms": T.doc_top_terms,
+        "heavy_hitter_words": T.heavy_hitter_words,
+        "sample_bottomk": T.sample_bottomk,
         "train_split": T.train_split,
         "html_boilerplate": T.html_boilerplate,
         "approx_distinct_users": T.approx_distinct_users,
@@ -810,6 +812,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT word, CAST(count(*) AS BIGINT) AS cnt
             FROM w GROUP BY word
             ORDER BY cnt DESC, word ASC LIMIT 50
+        """,
+        "heavy_hitter_words": """
+            WITH w AS (
+                SELECT unnest(string_split(text, ' ')) AS word
+                FROM documents
+            )
+            SELECT word, CAST(count(*) AS BIGINT) AS cnt
+            FROM w GROUP BY word
+            ORDER BY cnt DESC, word ASC LIMIT 10
+        """,
+        "sample_bottomk": """
+            SELECT source, doc_id FROM (
+                SELECT source, doc_id,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY (doc_id * 2246822519) % 1000003,
+                                    doc_id) AS rn
+                FROM documents
+            ) WHERE rn <= 20
+            ORDER BY source, doc_id
         """,
         "doc_top_terms": """
             WITH w AS (

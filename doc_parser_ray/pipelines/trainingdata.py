@@ -510,6 +510,40 @@ def doc_top_terms(sf_dir: str, topk: int = 3) -> pa.Table:
                         ("df", "ascending"), ("word", "ascending")])
 
 
+def heavy_hitter_words(sf_dir: str, k: int = 10,
+                       capacity: int = 64) -> pa.Table:
+    """Top-k words via the Misra-Gries mergeable summary
+    (``stages/sketch.py::approx_top_items``): per-block fixed-size
+    states, one driver merge, the corpus never shuffles — the sketch
+    counterpart of ``corpus_vocab``'s exact groupby. On this corpus the
+    31-word vocabulary is under ``capacity`` so no decrement ever fires
+    and counts are EXACT (hence SQL-oracle-paired); above capacity the
+    summary degrades to guaranteed lower bounds with the n/capacity
+    error bound — the knob you turn at 100 TB."""
+    from doc_parser_ray.stages.sketch import approx_top_items
+
+    def explode(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(batch.column("text"), pattern=" ")
+        return pa.table({"word": pc.list_flatten(words)})
+
+    ds = _docs(sf_dir).select_columns(["text"]).map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True)
+    out = approx_top_items(ds, "word", capacity=capacity, k=k)
+    return pa.table({"word": out.column("item"),
+                     "cnt": out.column("cnt_lower")})
+
+
+def sample_bottomk(sf_dir: str, k: int = 20) -> pa.Table:
+    """Fixed-size deterministic sample per source — bottom-k by
+    multiplicative hash (``stages/sampling.py::bottomk_sample``),
+    coordinated across runs and cluster sizes. SQL-expressible."""
+    from doc_parser_ray.stages.sampling import bottomk_sample
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "doc_id"])
+    return bottomk_sample(ds, group_col="source", id_col="doc_id", k=k)
+
+
 def train_split(sf_dir: str, train_pct: int = 90) -> pa.Table:
     """Deterministic train/validation assignment by a multiplicative
     hash of doc_id — stable across runs and cluster sizes, exactly

@@ -106,3 +106,54 @@ def epoch_mix(ds, *, weights_e4: dict[str, int], default_e4: int = 10_000,
 
     return ds.map_batches(fan, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def bottomk_sample(ds, *, group_col: str, id_col: str = "doc_id",
+                   k: int = 10, mult: int = SAMPLE_MULT,
+                   mod: int = 1_000_003):
+    """Fixed-SIZE deterministic sample per group (the companion of
+    ``stratified_sample``'s fixed-RATE): keep the ``k`` rows of each
+    group with the smallest multiplicative-hash key, ties broken by id.
+    Bottom-k-by-hash is the classic coordinated-sampling construction
+    (consistent across runs, cluster sizes and block orderings, and two
+    corpora sampled with the same key agree on shared ids).
+
+    Scale shape: each block collapses to its own per-group bottom-k
+    candidate set (vectorized lexsort + run-rank, no Python loop), so
+    at most groups×k rows per block reach the driver-side final
+    selection — the corpus itself never shuffles. Driver memory is
+    bounded by distinct-groups × k (the dimension-key contract; a
+    high-cardinality group column belongs in ``stratified_sample``).
+
+    Pure int64 arithmetic, exactly reproducible in SQL — oracle-paired.
+    Returns a driver-side pa.Table (group_col, id_col) sorted by
+    (group, id).
+    """
+    from doc_parser_ray.util import collect_table
+
+    def local_bottomk(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_col).to_numpy(zero_copy_only=False)
+        ids = batch.column(id_col).to_numpy()
+        key = (ids * np.int64(mult)) % np.int64(mod)
+        o = np.lexsort((ids, key, g))
+        g, ids, key = g[o], ids[o], key[o]
+        run_start = np.zeros(len(g), dtype=np.int64)
+        if len(g) > 1:
+            new_run = np.flatnonzero(g[1:] != g[:-1]) + 1
+            run_start[new_run] = new_run
+            np.maximum.accumulate(run_start, out=run_start)
+        sel = (np.arange(len(g)) - run_start) < k
+        return pa.table({group_col: pa.array(g[sel].tolist()),
+                         id_col: pa.array(ids[sel]),
+                         "_key": pa.array(key[sel], pa.int64())})
+
+    cand = collect_table(ds.select_columns([group_col, id_col]).map_batches(
+        local_bottomk, batch_format="pyarrow", zero_copy_batch=True))
+    if cand.num_rows == 0:
+        return pa.table({group_col: pa.array([], pa.string()),
+                         id_col: pa.array([], pa.int64())})
+    # final bottom-k over the bounded candidate set, same ordering rule
+    # (the hash key is recomputed from ids — identical by construction)
+    final = local_bottomk(cand)
+    return final.select([group_col, id_col]).sort_by(
+        [(group_col, "ascending"), (id_col, "ascending")])

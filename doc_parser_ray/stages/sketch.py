@@ -142,3 +142,89 @@ def approx_distinct_by(ds, key: str, column: str, *, p: int = 12) -> pa.Table:
     ).materialize()
     return states.groupby(key).map_groups(merge_group,
                                           batch_format="pyarrow")
+
+
+# ------------------------------------------------- Misra-Gries top-k
+
+
+class MisraGries:
+    """Misra–Gries / SpaceSaving frequency summary with ``capacity``
+    counters (Misra & Gries 1982; merge rule from Agarwal et al.,
+    "Mergeable Summaries", PODS'12): after summarizing a stream of n
+    items, every counter is within n/capacity of the item's true count,
+    and any item with true count > n/capacity is guaranteed present.
+    Fixed-size, associatively mergeable — the HLL shape for heavy
+    hitters: blocks never shuffle, states do.
+    """
+
+    def __init__(self, capacity: int = 64):
+        self.capacity = capacity
+        self.counts: dict = {}
+
+    def add_batch(self, values, counts=None) -> None:
+        """Vectorized bulk insert: pre-aggregate the batch (numpy
+        unique), add, then ONE decrement pass — equivalent to item-wise
+        Misra-Gries, no per-item Python loop over the raw stream."""
+        vals, cnts = np.unique(np.asarray(values),
+                               return_counts=True)
+        if counts is not None:
+            cnts = np.asarray(counts)  # caller pre-aggregated
+        for v, c in zip(vals.tolist(), cnts.tolist()):
+            self.counts[v] = self.counts.get(v, 0) + int(c)
+        self._shrink()
+
+    def merge(self, other: "MisraGries") -> None:
+        for v, c in other.counts.items():
+            self.counts[v] = self.counts.get(v, 0) + c
+        self._shrink()
+
+    def _shrink(self) -> None:
+        if len(self.counts) <= self.capacity:
+            return
+        # decrement all by the (cap+1)-th largest count and drop <= 0 —
+        # the batched equivalent of repeated Misra-Gries decrements
+        arr = np.fromiter(self.counts.values(), dtype=np.int64)
+        kth = np.partition(arr, -(self.capacity + 1))[-(self.capacity + 1)]
+        self.counts = {v: c - int(kth)
+                       for v, c in self.counts.items() if c > kth}
+
+    def items(self) -> list[tuple]:
+        return sorted(self.counts.items(), key=lambda kv: (-kv[1], kv[0]))
+
+    def to_arrow(self) -> pa.Table:
+        ks = [str(v) for v, _ in self.counts.items()]
+        cs = [c for _, c in self.counts.items()]
+        return pa.table({"item": pa.array(ks, pa.string()),
+                         "cnt": pa.array(cs, pa.int64())})
+
+
+def approx_top_items(ds, column: str, *, capacity: int = 64,
+                     k: int = 20) -> pa.Table:
+    """Approximate top-k heavy hitters of a column: per-block
+    Misra-Gries states (fixed size, built from the block's numpy-unique
+    pre-aggregate), one driver-side merge — the corpus never shuffles.
+    Returns (item, cnt_lower) — cnt is the MG lower bound; items with
+    true frequency > n/capacity are guaranteed present.
+    """
+
+    def block_state(batch: pa.Table) -> pa.Table:
+        mg = MisraGries(capacity)
+        mg.add_batch(batch.column(column).to_numpy(zero_copy_only=False))
+        t = mg.to_arrow()
+        return pa.table({"state_items": pa.array([t.column("item").to_pylist()],
+                                                 pa.list_(pa.string())),
+                         "state_counts": pa.array([t.column("cnt").to_pylist()],
+                                                  pa.list_(pa.int64()))})
+
+    states = ds.select_columns([column]).map_batches(
+        block_state, batch_format="pyarrow", zero_copy_batch=True)
+    merged = MisraGries(capacity)
+    for b in states.iter_batches(batch_format="pyarrow"):
+        for items, cnts in zip(b.column("state_items").to_pylist(),
+                               b.column("state_counts").to_pylist()):
+            other = MisraGries(capacity)
+            other.counts = dict(zip(items, cnts))
+            merged.merge(other)
+    top = merged.items()[:k]
+    return pa.table({"item": pa.array([v for v, _ in top], pa.string()),
+                     "cnt_lower": pa.array([c for _, c in top], pa.int64())})

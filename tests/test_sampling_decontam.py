@@ -3,6 +3,8 @@
 import numpy as np
 import pyarrow as pa
 
+import pytest
+
 import ray.data
 
 from doc_parser_ray.stages.decontam import (
@@ -129,3 +131,45 @@ class TestDecontaminate:
         out = collect_table(decontaminate(
             ray.data.from_arrow(corpus), ref, n=5))
         assert sorted(out.column("doc_id").to_pylist()) == [0, 1, 2]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBottomkSample:
+    def test_matches_naive_and_is_stable_across_partitioning(self):
+        import numpy as np
+
+        from doc_parser_ray.stages.sampling import (
+            SAMPLE_MULT, bottomk_sample)
+
+        ids = np.arange(200, dtype=np.int64)
+        groups = ["even" if i % 2 == 0 else "odd" for i in ids]
+        tab = pa.table({"source": pa.array(groups, pa.string()),
+                        "doc_id": pa.array(ids)})
+
+        def naive(k):
+            out = {}
+            for g in ("even", "odd"):
+                rows = [(int((i * SAMPLE_MULT) % 1_000_003), int(i))
+                        for i in ids if (("even" if i % 2 == 0 else "odd")
+                                         == g)]
+                rows.sort()
+                out[g] = sorted(i for _, i in rows[:k])
+            return out
+
+        for parts in (1, 7):
+            ds = ray.data.from_arrow(tab).repartition(parts)
+            got = bottomk_sample(ds, group_col="source", id_col="doc_id",
+                                 k=5)
+            by_g = {}
+            for r in got.to_pylist():
+                by_g.setdefault(r["source"], []).append(r["doc_id"])
+            assert by_g == naive(5), f"parts={parts}"
+
+    def test_group_smaller_than_k_keeps_all(self):
+        from doc_parser_ray.stages.sampling import bottomk_sample
+
+        tab = pa.table({"source": pa.array(["a", "a", "b"], pa.string()),
+                        "doc_id": pa.array([1, 2, 3], pa.int64())})
+        got = bottomk_sample(ray.data.from_arrow(tab), group_col="source",
+                             id_col="doc_id", k=10)
+        assert got.num_rows == 3

@@ -99,3 +99,55 @@ class TestDistributedSketch:
         rows = {r["k"]: r["approx_distinct"] for r in out.to_pylist()}
         assert abs(rows["a"] - 37) <= 2
         assert abs(rows["b"] - 100) <= 4
+
+
+class TestMisraGries:
+    def test_exact_when_under_capacity(self):
+        from doc_parser_ray.stages.sketch import MisraGries
+
+        mg = MisraGries(capacity=16)
+        mg.add_batch(["a"] * 5 + ["b"] * 3 + ["c"])
+        assert dict(mg.items()) == {"a": 5, "b": 3, "c": 1}
+
+    def test_heavy_hitter_guarantee_and_lower_bound(self):
+        from doc_parser_ray.stages.sketch import MisraGries
+
+        rng = np.random.RandomState(0)
+        # one heavy item (40%) in a long tail of 200 distinct values
+        stream = (["HH"] * 400
+                  + [f"t{i}" for i in rng.randint(0, 200, size=600)])
+        rng.shuffle(stream)
+        mg = MisraGries(capacity=8)
+        for i in range(0, len(stream), 100):  # batched inserts
+            mg.add_batch(stream[i:i + 100])
+        got = dict(mg.items())
+        assert "HH" in got                 # freq > n/capacity present
+        assert got["HH"] <= 400            # count is a lower bound
+        assert got["HH"] >= 400 - len(stream) // 8  # within n/capacity
+        assert len(got) <= 8
+
+    def test_merge_matches_single_stream(self):
+        from doc_parser_ray.stages.sketch import MisraGries
+
+        a = ["x"] * 50 + ["y"] * 30 + ["z"] * 5
+        b = ["x"] * 40 + ["w"] * 25 + ["z"] * 5
+        m1 = MisraGries(4); m1.add_batch(a)
+        m2 = MisraGries(4); m2.add_batch(b)
+        m1.merge(m2)
+        whole = MisraGries(4); whole.add_batch(a + b)
+        # same guarantee set: every true-heavy item survives both paths
+        assert "x" in dict(m1.items()) and "x" in dict(whole.items())
+        assert dict(m1.items())["x"] <= 90
+
+    @pytest.mark.usefixtures("ray_session")
+    def test_approx_top_items_exact_small_vocab(self):
+        import ray.data
+
+        from doc_parser_ray.stages.sketch import approx_top_items
+
+        vals = ["p"] * 30 + ["q"] * 20 + ["r"] * 10 + ["s"] * 5
+        ds = ray.data.from_arrow(
+            pa.table({"v": pa.array(vals, pa.string())})).repartition(4)
+        out = approx_top_items(ds, "v", capacity=16, k=3)
+        assert out.column("item").to_pylist() == ["p", "q", "r"]
+        assert out.column("cnt_lower").to_pylist() == [30, 20, 10]
