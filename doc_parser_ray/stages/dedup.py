@@ -978,20 +978,42 @@ def incremental_dedup(new_ds, seen_ds, *, text_col: str = "text",
 # ------------------------------------ hot spans (exact-substring dedup)
 
 
-def _gram_positions(texts: pa.ChunkedArray | pa.Array, k: int):
-    """Word ``k``-gram strings and positions for every doc in a batch,
-    vectorized: ONE ``split_pattern`` pass, then numpy fancy-indexed gram
-    assembly over the flattened word array (object-dtype elementwise
-    concat — no per-row Python loop in the hot path).
+# position-dependent odd multipliers (splitmix64 golden-gamma powers) —
+# gram hash = XOR of multiplied word hashes, so distinct word tuples
+# collide with the same ~2^-64 odds as direct string hashing without
+# ever BUILDING the gram strings
+_GAMMA = np.uint64(0x9E3779B97F4A7C15)
 
-    Splits on a single space (matching SQL ``string_split(text, ' ')``)
-    so the oracle groups the exact same grams; normalization is the
-    caller's composition choice.
 
-    Returns ``(doc_idx, rel, grams)``: for each gram start, the batch-row
-    index of its doc, its 0-based word position within the doc, and the
-    gram string (numpy object array).
+def _pos_mults(k: int) -> np.ndarray:
+    m = np.empty(k, dtype=np.uint64)
+    cur = np.uint64(1)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            cur = cur * _GAMMA | np.uint64(1)
+            m[j] = cur
+    return m
+
+
+def _gram_hashes(texts: pa.ChunkedArray | pa.Array, k: int):
+    """Word ``k``-gram hashes and positions for every doc in a batch.
+
+    Fully vectorized and string-free in the hot path: ONE
+    ``split_pattern`` pass, ONE polars xxhash pass over the flattened
+    word array, then the gram hash is an XOR of position-multiplied
+    word hashes (numpy uint64) — no object-string concat per gram.
+    Splits on a single space (matching SQL ``string_split(text, ' ')``);
+    normalization is the caller's composition choice.
+
+    Returns ``(doc_idx, rel, gh, flat, starts)``: per gram start, the
+    batch-row index, the 0-based word position within the doc, the
+    combined hash as an int64 bit-view (Ray's groupby round-trips keys
+    through Python ints, where uint64 overflows), plus the flattened
+    word array and absolute start indexes so ``_gram_strings`` can
+    materialize the strings of a SELECTED subset only.
     """
+    from doc_parser_ray.stages.sketch import _hash64
+
     words = pc.split_pattern(texts, pattern=" ")
     if isinstance(words, pa.ChunkedArray):
         words = words.combine_chunks()
@@ -1001,15 +1023,38 @@ def _gram_positions(texts: pa.ChunkedArray | pa.Array, k: int):
     total = int(nst.sum())
     doc_idx = np.repeat(np.arange(len(lens)), nst)
     if total == 0:
-        return doc_idx, np.empty(0, np.int64), np.empty(0, object)
-    flat = words.values.to_numpy(zero_copy_only=False)
+        return (doc_idx, np.empty(0, np.int64), np.empty(0, np.int64),
+                np.empty(0, object), np.empty(0, np.int64))
+    flat_arr = words.values
+    wh = _hash64(flat_arr)
     first = np.repeat(np.cumsum(nst) - nst, nst)
     rel = np.arange(total, dtype=np.int64) - first
     starts = rel + np.repeat(offs[:-1], nst)
+    mults = _pos_mults(k)
+    with np.errstate(over="ignore"):
+        gh = wh[starts] * mults[0]
+        for j in range(1, k):
+            gh = gh ^ (wh[starts + j] * mults[j])
+    flat = flat_arr.to_numpy(zero_copy_only=False)
+    return doc_idx, rel, gh.view(np.int64), flat, starts
+
+
+def _gram_strings(flat: np.ndarray, starts: np.ndarray, k: int):
+    """Materialize gram strings for selected start indexes (object
+    concat — call it on SMALL selections, e.g. hot-set hits only)."""
+    if len(starts) == 0:
+        return np.empty(0, object)
     grams = flat[starts]
     for j in range(1, k):
         grams = grams + " " + flat[starts + j]
-    return doc_idx, rel, grams
+    return grams
+
+
+def _gram_positions(texts: pa.ChunkedArray | pa.Array, k: int):
+    """(doc_idx, rel, grams) with ALL gram strings materialized — the
+    test/debug surface; production paths stay on ``_gram_hashes``."""
+    doc_idx, rel, _, flat, starts = _gram_hashes(texts, k)
+    return doc_idx, rel, _gram_strings(flat, starts, k)
 
 
 def hot_span_df(ds, *, text_col: str = "text", k: int = 3, min_df: int = 4):
@@ -1035,20 +1080,16 @@ def hot_span_df(ds, *, text_col: str = "text", k: int = 3, min_df: int = 4):
 
     Returns a driver-side ``pa.Table`` (ngram, df) with df >= min_df,
     sorted df desc then ngram asc. Exact (hash collisions would merge
-    grams; 64-bit xxhash makes that ~2^-64 per pair, and the oracle
-    gate would catch it).
+    grams; the 64-bit combined word hash makes that ~2^-64 per pair,
+    and the oracle gate would catch it).
     """
-    from doc_parser_ray.stages.sketch import _hash64
     from doc_parser_ray.util import collect_table
 
     def partial_df(batch: pa.Table) -> pa.Table:
-        doc_idx, _, grams = _gram_positions(batch.column(text_col), k)
-        if len(grams) == 0:
+        doc_idx, _, h, _, _ = _gram_hashes(batch.column(text_col), k)
+        if len(h) == 0:
             return pa.table({"h": pa.array([], pa.int64()),
                              "pdf": pa.array([], pa.int64())})
-        # int64 bit-view: Ray's groupby round-trips keys through
-        # Python ints, where uint64 > 2^63-1 overflows
-        h = _hash64(pa.array(grams, pa.string())).view(np.int64)
         t = pa.table({"h": pa.array(h, pa.int64()),
                       "d": pa.array(doc_idx, pa.int64())})
         dd = t.group_by(["h", "d"], use_threads=False).aggregate([])
@@ -1075,17 +1116,19 @@ def hot_span_df(ds, *, text_col: str = "text", k: int = 3, min_df: int = 4):
         from doc_parser_ray.stages.joins import _worker_object
 
         arr = _worker_object(hot_ref)
-        _, _, grams = _gram_positions(batch.column(text_col), k)
+        _, _, h, flat, starts = _gram_hashes(batch.column(text_col), k)
         empty = pa.table({"h": pa.array([], pa.int64()),
                           "ngram": pa.array([], pa.string())})
-        if len(grams) == 0:
+        if len(h) == 0:
             return empty
-        h = _hash64(pa.array(grams, pa.string())).view(np.int64)
-        t = pa.table({"h": pa.array(h, pa.int64()),
+        hits = pc.is_in(pa.array(h, pa.int64()), arr).to_numpy(
+            zero_copy_only=False)
+        if not hits.any():
+            return empty
+        # strings materialized for the hot HITS only
+        grams = _gram_strings(flat, starts[hits], k)
+        t = pa.table({"h": pa.array(h[hits], pa.int64()),
                       "ngram": pa.array(grams, pa.string())})
-        t = t.filter(pc.is_in(t.column("h"), arr))
-        if t.num_rows == 0:
-            return empty
         return t.group_by(["h", "ngram"], use_threads=False).aggregate([])
 
     named = collect_table(ds.select_columns([text_col]).map_batches(
@@ -1107,14 +1150,17 @@ def mask_hot_spans(ds, hot_ngrams, *, text_col: str = "text",
     Returns a Dataset (id_col, n_hot, n_removed) for docs with
     n_hot > 0 — streams, no shuffle at all.
     """
-    from doc_parser_ray.stages.sketch import _hash64
-
     if isinstance(hot_ngrams, (pa.Array, pa.ChunkedArray)):
         hot_arr = hot_ngrams
     else:
         hot_arr = pa.array(list(hot_ngrams), pa.string())
-    hot_h = (np.sort(_hash64(hot_arr).view(np.int64)) if len(hot_arr)
-             else np.empty(0, np.int64))
+    if len(hot_arr):
+        # same combined word hash as hot_span_df (each hot gram is a
+        # k-word string, so it yields exactly one gram hash)
+        _, _, hh, _, _ = _gram_hashes(hot_arr, k)
+        hot_h = np.sort(hh)
+    else:
+        hot_h = np.empty(0, np.int64)
     hot_ref = ray.put(hot_h)
 
     def cover(batch: pa.Table) -> pa.Table:
@@ -1125,10 +1171,9 @@ def mask_hot_spans(ds, hot_ngrams, *, text_col: str = "text",
             id_col: pa.array([], batch.schema.field(id_col).type),
             "n_hot": pa.array([], pa.int64()),
             "n_removed": pa.array([], pa.int64())})
-        doc_idx, rel, grams = _gram_positions(batch.column(text_col), k)
-        if len(grams) == 0 or len(arr) == 0:
+        doc_idx, rel, h, _, _ = _gram_hashes(batch.column(text_col), k)
+        if len(h) == 0 or len(arr) == 0:
             return empty
-        h = _hash64(pa.array(grams, pa.string())).view(np.int64)
         pos = np.minimum(np.searchsorted(arr, h), len(arr) - 1)
         hit = arr[pos] == h
         if not hit.any():
