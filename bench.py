@@ -106,12 +106,13 @@ def run_headline(corpus: str, num_cpus: int) -> dict:
 TRACKED_QUERIES = [
     "q1_pricing_summary", "q3_top_orders", "q_orders_monthly",
     "q_part_brand_topk", "q_sessionize", "q_asof_join", "q_interval_join",
-    "q_sliding_window", "q_value_percentiles", "q_order_lineitem_join",
+    "q_sliding_window", "q_value_percentiles", "q_group_percentiles",
+    "q_order_lineitem_join",
     "q_orders_with_returns", "q_customers_no_f_orders",
     "extract_roundtrip", "dedup_exact", "dedup_minhash",
     "dedup_simhash", "dedup_ngram", "dedup_components",
-    "dedup_incremental", "hot_spans", "sample_stratified",
-    "decontaminate_corpus",
+    "dedup_incremental", "hot_spans", "doc_top_terms", "kmeans_clusters",
+    "sample_stratified", "decontaminate_corpus",
     "text_quality", "knn_cosine", "media_decode", "media_pipeline",
     "chunk_transcripts", "training_corpus",
 ]
