@@ -165,8 +165,10 @@ class MisraGries:
         """Vectorized bulk insert: pre-aggregate the batch (numpy
         unique), add, then ONE decrement pass — equivalent to item-wise
         Misra-Gries, no per-item Python loop over the raw stream."""
-        vals, cnts = np.unique(np.asarray(values),
-                               return_counts=True)
+        arr = np.asarray(values)
+        if counts is None and arr.dtype == object:
+            arr = arr[np.array([v is not None for v in arr])]  # drop nulls
+        vals, cnts = np.unique(arr, return_counts=True)
         if counts is not None:
             cnts = np.asarray(counts)  # caller pre-aggregated
         for v, c in zip(vals.tolist(), cnts.tolist()):

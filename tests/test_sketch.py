@@ -151,3 +151,10 @@ class TestMisraGries:
         out = approx_top_items(ds, "v", capacity=16, k=3)
         assert out.column("item").to_pylist() == ["p", "q", "r"]
         assert out.column("cnt_lower").to_pylist() == [30, 20, 10]
+
+    def test_nulls_dropped(self):
+        from doc_parser_ray.stages.sketch import MisraGries
+
+        mg = MisraGries(4)
+        mg.add_batch(np.array(["a", None, "a", None], dtype=object))
+        assert dict(mg.items()) == {"a": 2}
