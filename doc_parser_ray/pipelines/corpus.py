@@ -33,7 +33,8 @@ def dedup_turns_exact(ds, *, num_partitions: int = 64):
     scan, shuffle carries full rows exactly once (the corpus would be
     re-joined anyway; for key-only shuffles see stages/dedup.py)."""
     from doc_parser_ray.functions.textstats import normalize_for_dedup
-    import polars as pl
+    from doc_parser_ray.stages.sketch import _polars
+    pl = _polars()  # race-safe polars import (see sketch.py)
 
     def add_key(batch: pa.Table) -> pa.Table:
         # normalization stays per-row (string munging); the key is a

@@ -36,7 +36,8 @@ def _gram_hashes(texts: list[str], n: int) -> tuple[np.ndarray, np.ndarray]:
     hashed in one vectorized pass. Docs with fewer than ``n`` words
     contribute no grams (the standard decontamination rule: nothing to
     match on)."""
-    import polars as pl
+    from doc_parser_ray.stages.sketch import _polars
+    pl = _polars()  # race-safe polars import (see sketch.py)
 
     grams: list[str] = []
     counts = np.empty(len(texts), dtype=np.int64)

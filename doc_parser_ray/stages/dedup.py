@@ -287,7 +287,8 @@ def simhash64_batch(texts: list[str]) -> np.ndarray:
     of every doc is hashed in ONE polars (seeded-xxhash) pass, the ±1
     bit accumulation is a single (features × 64) numpy reduceat — no
     per-feature Python in the hot path."""
-    import polars as pl
+    from doc_parser_ray.stages.sketch import _polars
+    pl = _polars()  # race-safe polars import (see sketch.py)
 
     feats: list[str] = []
     counts = np.empty(len(texts), dtype=np.int64)

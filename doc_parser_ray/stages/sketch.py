@@ -15,6 +15,22 @@ import numpy as np
 import pyarrow as pa
 
 
+def _polars():
+    """Import polars defensively: inside a Ray worker a concurrent
+    partial import can leave ``polars._reexport`` without ``Series``
+    (observed intermittently as AttributeError in map tasks) — retry
+    briefly until the module is fully initialized."""
+    import time
+
+    for attempt in range(20):
+        import polars as pl
+
+        if hasattr(pl._reexport, "Series"):
+            return pl
+        time.sleep(0.05 * (attempt + 1))
+    return pl  # let the original error surface
+
+
 def _hash64(values) -> np.ndarray:
     """Vectorized 64-bit hash of a column of values.
 
@@ -23,7 +39,7 @@ def _hash64(values) -> np.ndarray:
     across processes for a fixed seed and version) or any Python
     iterable (stringified first). No per-row Python in the Arrow path.
     """
-    import polars as pl
+    pl = _polars()
 
     if isinstance(values, (pa.Array, pa.ChunkedArray)):
         s = pl.from_arrow(values.cast(pa.string()))
