@@ -126,6 +126,78 @@ def fingerprint(text: str, window: int = 64) -> int:
     return best
 
 
+_GFP_P = 2147483647      # Mersenne 2^31-1: products stay inside int64
+_GFP_WORD_BASE = 257     # byte-Horner base for word hashes
+_GFP_GRAM_BASE = 1000003  # word-hash-Horner base for gram hashes
+
+
+def gram_fingerprint_batch(texts, k: int = 5):
+    """Vectorized winnowing-style document fingerprint, SQL-twinnable:
+    min over all word-``k``-gram rolling hashes, where
+
+      word_hash(w) = Horner fold of the character codes, base 257
+                     mod 2^31-1  (0 for the empty word);
+      gram_hash    = Horner fold of k word hashes, base 1000003
+                     mod 2^31-1;
+      fingerprint  = min over gram windows (docs with fewer than k
+                     words use one gram over all their words; the
+                     empty text is the single empty word, fp 0).
+
+    All arithmetic stays below 2^52, so int64 is exact on both sides —
+    the DuckDB oracle reproduces it with list_reduce/list_transform.
+    Tokenization is ``split(' ')`` (SQL ``string_split(text, ' ')``);
+    character codes via the utf-8 byte view, which equals DuckDB's
+    ``ascii()`` code points on ASCII corpora (the testdata contract).
+
+    Accepts a pyarrow string column; returns an int64 numpy array.
+    Vectorized: one split, one byte-Horner over the flattened word
+    buffer (max-word-length passes), one gram-Horner (k passes), one
+    ``minimum.reduceat`` — no per-word or per-gram Python.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = (texts.combine_chunks()
+           if isinstance(texts, pa.ChunkedArray) else texts)
+    arr = pc.fill_null(arr, "")
+    words = pc.split_pattern(arr, pattern=" ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    import numpy as np
+
+    n_docs = len(arr)
+    offs = words.offsets.to_numpy().astype(np.int64)
+    lens = offs[1:] - offs[:-1]           # words per doc (>= 1)
+    flat = words.values                   # flattened word array
+    # --- word hashes: Horner over the raw utf-8 buffer, vectorized
+    w_offs = np.frombuffer(flat.buffers()[1], dtype=np.int32)[
+        flat.offset: flat.offset + len(flat) + 1].astype(np.int64)
+    buf = np.frombuffer(flat.buffers()[2], dtype=np.uint8)
+    w_len = w_offs[1:] - w_offs[:-1]
+    wh = np.zeros(len(flat), dtype=np.int64)
+    max_len = int(w_len.max()) if len(w_len) else 0
+    for j in range(max_len):
+        alive = w_len > j
+        idx = w_offs[:-1][alive] + j
+        wh[alive] = (wh[alive] * _GFP_WORD_BASE + buf[idx]) % _GFP_P
+    # --- gram hashes per doc (k_eff = min(k, n_words))
+    k_eff = np.minimum(lens, k)
+    nst = lens - k_eff + 1                # gram windows per doc (>= 1)
+    total = int(nst.sum())
+    first = np.repeat(np.cumsum(nst) - nst, nst)
+    rel = np.arange(total, dtype=np.int64) - first
+    starts = rel + np.repeat(offs[:-1], nst)
+    kk = np.repeat(k_eff, nst)            # per-gram effective width
+    gh = wh[starts].copy()
+    for j in range(1, k):
+        sel = kk > j
+        gh[sel] = (gh[sel] * _GFP_GRAM_BASE + wh[starts[sel] + j]) % _GFP_P
+    doc_starts = np.cumsum(nst) - nst
+    out = np.minimum.reduceat(gh, doc_starts) if total else \
+        np.zeros(n_docs, dtype=np.int64)
+    return out.astype(np.int64)
+
+
 def normalize_for_dedup(text: str) -> str:
     """Canonical text form for duplicate detection: lowercase, collapse
     all whitespace runs to single spaces, strip."""

@@ -74,6 +74,45 @@ def dedup_turns_exact(ds, *, num_partitions: int = 64):
                                             batch_format="pyarrow")
 
 
+def near_dedup_turns(ds, *, threshold: float = 0.5,
+                     num_partitions: int = 32,
+                     max_shingle_df: int | None = 256):
+    """Near-duplicate turn removal for the composed corpus: exact
+    word-trigram Jaccard pairs over the extracted text (prefix-filtered
+    inverted index, ``stages/dedup.py::ngram_jaccard_pairs``) →
+    distributed connected components → keep-one-per-cluster anti join.
+
+    Turns are keyed by a synthetic int64 uid (xxhash of conv_id mixed
+    with turn_idx) so the CC machinery's integer-node contract holds;
+    collision odds are ~n²/2^64. ``max_shingle_df`` keeps the corpus-
+    scale stop-shingle cap ON (this is a composition, not the oracle
+    path, which runs uncapped)."""
+    import pyarrow.compute as pc
+
+    from doc_parser_ray.stages.dedup import near_dedup, ngram_jaccard_pairs
+
+    def add_uid(batch: pa.Table) -> pa.Table:
+        from doc_parser_ray.stages.sketch import _hash64
+
+        h = _hash64(batch.column("conv_id"))
+        t = batch.column("turn_idx").to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        with np.errstate(over="ignore"):
+            uid = h ^ ((t + np.uint64(1)) * np.uint64(0x9E3779B97F4A7C15))
+        return batch.append_column(
+            "turn_uid", pa.array(uid.view(np.int64), pa.int64()))
+
+    keyed = ds.map_batches(add_uid, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+    pairs = ngram_jaccard_pairs(
+        keyed, id_col="turn_uid", text_col="extracted_text", k=3,
+        threshold=threshold, max_shingle_df=max_shingle_df,
+        num_partitions=num_partitions)
+    out = near_dedup(keyed, pairs, id_col="turn_uid",
+                     num_partitions=num_partitions)
+    return out.drop_columns(["turn_uid"])
+
+
 def quality_gate(ds, *, min_parse_score: float = 0.5):
     """Filter turns whose M1 parse score falls below the gate (the
     corpus-quality analog of the reference's ConfidenceReport grades)."""
@@ -96,9 +135,14 @@ def quality_gate(ds, *, min_parse_score: float = 0.5):
 def build_training_corpus(ds, *, max_tokens: int = 256,
                           min_parse_score: float = 0.5,
                           num_partitions: int = 32,
-                          tokenizer_concurrency=(1, 4)):
+                          tokenizer_concurrency=(1, 4),
+                          near_dedup_threshold: float | None = None):
     """Transcript Dataset → deduplicated, quality-gated, token-bounded
-    chunk records with global per-conversation counters."""
+    chunk records with global per-conversation counters.
+
+    ``near_dedup_threshold``: when set, the full near-dedup chain
+    (trigram-Jaccard pairs → connected components → keep-one-per-
+    cluster) runs after exact dedup — the complete 100 TB composition."""
     from doc_parser_ray.stages.chunk import assemble_chunk_counters
     from doc_parser_ray.stages.extract import apply_extract
     from doc_parser_ray.stages.tokenize import chunk_turns_wordpiece
@@ -106,6 +150,10 @@ def build_training_corpus(ds, *, max_tokens: int = 256,
     extracted = apply_extract(ds)
     extracted = extracted.filter(expr="status == 'ok'")
     deduped = dedup_turns_exact(extracted, num_partitions=num_partitions)
+    if near_dedup_threshold is not None:
+        deduped = near_dedup_turns(deduped,
+                                   threshold=near_dedup_threshold,
+                                   num_partitions=num_partitions)
     gated = quality_gate(deduped, min_parse_score=min_parse_score)
     chunks = chunk_turns_wordpiece(gated, max_tokens=max_tokens,
                                    concurrency=tokenizer_concurrency)
@@ -114,13 +162,16 @@ def build_training_corpus(ds, *, max_tokens: int = 256,
 
 def training_corpus(sf_dir: str) -> pa.Table:
     """Driver-contract query: the composed pipeline over synthetic
-    transcripts (rows-only check — each stage is verified on its own;
-    composition invariants are unit-tested)."""
+    transcripts, with the NEAR-dedup chain on (exact dedup → trigram-
+    Jaccard CC near-dedup → quality gate → WordPiece chunking → conv
+    counters). Rows-only check — each stage is verified on its own;
+    composition invariants are unit-tested."""
     from doc_parser_ray.sources.transcripts import transcripts_dataset
     from doc_parser_ray.util import collect_table
 
     ds = transcripts_dataset(n_convs=80, seed=42, max_turns=40)
-    out = build_training_corpus(ds, max_tokens=128)
+    out = build_training_corpus(ds, max_tokens=128,
+                                near_dedup_threshold=0.5)
     tab = collect_table(out.select_columns(
         ["conv_id", "turn_idx", "chunk_idx", "chunk_text", "n_tokens",
          "chunk_ord", "n_chunks_of_conv"]

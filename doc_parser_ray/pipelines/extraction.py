@@ -78,10 +78,7 @@ def bucket_transcripts(
 
     Returns the bucket directories in bucket order.
     """
-    import zlib as _zlib
-
     import pyarrow as pa
-    import pyarrow.compute as pc  # noqa: F401 (kept for clarity)
 
     if isinstance(input_paths, str):
         files = sorted(pads.dataset(input_paths, format="parquet").files)
@@ -96,11 +93,10 @@ def bucket_transcripts(
         return bucket_dirs
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        ids = batch.column("conv_id").to_pylist()
-        buckets = pa.array(
-            [_zlib.crc32(i.encode()) % n_buckets for i in ids], pa.int32()
-        )
-        return batch.append_column("bucket", buckets)
+        from doc_parser_ray.stages.sketch import hash_partition
+
+        return batch.append_column(
+            "bucket", hash_partition(batch.column("conv_id"), n_buckets))
 
     if os.path.isdir(bucket_dir):
         shutil.rmtree(bucket_dir)

@@ -223,20 +223,16 @@ def q_sessionize(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
     assembly — bounded hash partitions on the key, vectorized in-partition
     gap detection; no per-user Python calls."""
     import numpy as np
-    import zlib as _zlib
 
     ev = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
     num_partitions = 16
     gap_us = gap_minutes * 60_000_000
 
     def add_pkey(batch: pa.Table) -> pa.Table:
-        uids = batch.column("user_id").to_numpy(zero_copy_only=False)
-        pk = pa.array(
-            (uids % num_partitions).astype("int32")
-            if uids.dtype.kind in "iu"
-            else [_zlib.crc32(str(u).encode()) % num_partitions for u in uids]
-        )
-        return batch.append_column("pkey", pk)
+        from doc_parser_ray.stages.sketch import hash_partition
+
+        return batch.append_column(
+            "pkey", hash_partition(batch.column("user_id"), num_partitions))
 
     def sessions(part: pa.Table) -> pa.Table:
         part = part.sort_by(

@@ -40,8 +40,6 @@ Output adds to each extracted row:
 
 from __future__ import annotations
 
-import zlib
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -84,13 +82,18 @@ def combine_bucket_summaries(summary: pa.Table | None):
     return offsets, totals, chars
 
 
-def _conv_hash(conv_ids: list[str]) -> np.ndarray:
-    return np.array([zlib.crc32(c.encode()) for c in conv_ids], dtype=np.uint64)
+def _conv_hash(conv_ids) -> np.ndarray:
+    """uint64 hash per conversation id — ONE vectorized xxhash pass
+    (accepts a pyarrow column, numpy str array, or list of str); the
+    former per-id ``zlib.crc32`` loop was measurable on every exchange."""
+    from doc_parser_ray.stages.sketch import _hash64
+
+    return _hash64(conv_ids)
 
 
 def _add_pkey(batch: pa.Table, num_partitions: int,
               salt_bucket_turns: int | None) -> pa.Table:
-    h = _conv_hash(batch.column("conv_id").to_pylist())
+    h = _conv_hash(batch.column("conv_id"))
     if salt_bucket_turns:
         salt = (
             batch.column("turn_idx").to_numpy(zero_copy_only=False)

@@ -13,12 +13,14 @@ membership test per batch. The 100 TB corpus streams through a single
 stateless ``map_batches`` — no all-to-all exchange, and the corpus
 text never moves.
 
-Hashing: one seeded-xxhash pass (polars) over all grams of a batch —
-same vectorized construction as ``stages/dedup.py::simhash64_batch``.
-64-bit hashes stand in for the gram strings on both sides of the
-membership test; at benchmark scale (<<2^32 grams) false collisions
-are ~(corpus_grams x bench_grams)/2^64 — negligible, and the DuckDB
-oracle (exact string intersection) verifies that end to end.
+Hashing: the string-free vectorized gram path shared with
+``stages/dedup.py::_shingle_hashes_batch`` — one normalize pass, one
+split, ONE seeded-xxhash pass over the flattened words, positional-XOR
+gram combination; no per-doc Python gram strings (this is a hot-path
+100 TB op). 64-bit hashes stand in for the gram strings on both sides
+of the membership test; at benchmark scale (<<2^32 grams) false
+collisions are ~(corpus_grams x bench_grams)/2^64 — negligible, and
+the DuckDB oracle (exact string intersection) verifies that end to end.
 """
 
 from __future__ import annotations
@@ -28,32 +30,19 @@ import pyarrow as pa
 
 import ray
 
-from doc_parser_ray.functions.textstats import normalize_for_dedup
 
+def _gram_hashes(texts, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """(hashes, per-doc DISTINCT counts): word n-grams of each
+    normalized text, via the shared string-free vectorized path. Docs
+    with fewer than ``n`` words contribute no grams (the standard
+    decontamination rule: nothing to match on). Accepts a pyarrow
+    string column or a list of str."""
+    from doc_parser_ray.stages.dedup import _shingle_hashes_batch
 
-def _gram_hashes(texts: list[str], n: int) -> tuple[np.ndarray, np.ndarray]:
-    """(hashes, per-doc counts): word n-grams of each normalized text,
-    hashed in one vectorized pass. Docs with fewer than ``n`` words
-    contribute no grams (the standard decontamination rule: nothing to
-    match on)."""
-    from doc_parser_ray.stages.sketch import _polars
-    pl = _polars()  # race-safe polars import (see sketch.py)
-
-    grams: list[str] = []
-    counts = np.empty(len(texts), dtype=np.int64)
-    for d, text in enumerate(texts):
-        words = normalize_for_dedup(text or "").split()
-        if len(words) < n:
-            counts[d] = 0
-            continue
-        gs = [" ".join(words[i: i + n]) for i in range(len(words) - n + 1)]
-        counts[d] = len(gs)
-        grams.extend(gs)
-    if not grams:
-        return np.empty(0, dtype=np.uint64), counts
-    h = pl.Series(grams).hash(seed=0).to_numpy().astype(np.uint64,
-                                                        copy=False)
-    return h, counts
+    col = (texts if isinstance(texts, (pa.Array, pa.ChunkedArray))
+           else pa.array([t or "" for t in texts], pa.string()))
+    _, gh, counts = _shingle_hashes_batch(col, n, short_docs="none")
+    return gh, counts
 
 
 def collect_benchmark_ngrams(bench_ds, *, text_col: str = "text",
@@ -63,8 +52,7 @@ def collect_benchmark_ngrams(bench_ds, *, text_col: str = "text",
     where the data is; only the deduped hash arrays reach the driver
     for the final union — bounded by DISTINCT eval grams, not rows."""
     def batch_hashes(batch: pa.Table) -> pa.Table:
-        texts = batch.column(text_col).to_pylist()
-        h, _ = _gram_hashes(texts, n)
+        h, _ = _gram_hashes(batch.column(text_col), n)
         return pa.table({"h": pa.array(np.unique(h), pa.uint64())})
 
     from doc_parser_ray.util import collect_table
@@ -96,8 +84,7 @@ def decontaminate(ds, bench_ref: "ray.ObjectRef", *,
         if nrows == 0:
             return batch
         bench = ray.get(bench_ref)  # plasma-local after first task/node
-        texts = batch.column(text_col).to_pylist()
-        h, counts = _gram_hashes(texts, n)
+        h, counts = _gram_hashes(batch.column(text_col), n)
         if len(h) == 0 or len(bench) == 0:
             hit = np.zeros(nrows, dtype=bool)
         else:

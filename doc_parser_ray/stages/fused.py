@@ -94,7 +94,7 @@ def partitioned_bucket_lookup(summary: pa.Table | None, num_partitions: int
     total = np.add.reduceat(bn, cstarts)[gid]
     chars = np.add.reduceat(bc, cstarts)[gid]
     # same partition hash as _add_pkey
-    h = _conv_hash(convs.tolist()) + salts.astype(np.uint64) * np.uint64(
+    h = _conv_hash(convs) + salts.astype(np.uint64) * np.uint64(
         _SALT_MIX)
     pkey = (h % np.uint64(num_partitions)).astype(np.int64)
     tab = pa.table({

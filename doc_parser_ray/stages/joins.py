@@ -29,8 +29,6 @@ module is part of the engine-completeness surface, not reference parity.
 
 from __future__ import annotations
 
-import zlib
-
 import numpy as np
 import pyarrow as pa
 
@@ -99,16 +97,14 @@ _SHUFFLE_JOIN_TYPES = {
 }
 
 
-def _pkey_array(keys: np.ndarray, num_partitions: int) -> pa.Array:
-    """Bounded hash-partition keys from a key column (vectorized for
-    integer keys; crc32 per value for strings — partitioning only, not
-    the hot row path)."""
-    if keys.dtype.kind in "iu":
-        pk = (keys % num_partitions).astype("int32")
-    else:
-        pk = np.array([zlib.crc32(str(x).encode()) % num_partitions
-                       for x in keys], dtype="int32")
-    return pa.array(pk)
+def _pkey_array(keys, num_partitions: int) -> pa.Array:
+    """Bounded hash-partition keys from a key column — one vectorized
+    pass for every dtype (integer modulo / seeded-xxhash string pass),
+    see ``stages.sketch.hash_partition``. Accepts a pyarrow column or a
+    numpy array."""
+    from doc_parser_ray.stages.sketch import hash_partition
+
+    return hash_partition(keys, num_partitions)
 
 
 def shuffle_hash_join(left_ds, right_ds, *, left_key: str, right_key: str,
@@ -144,14 +140,59 @@ def shuffle_hash_join(left_ds, right_ds, *, left_key: str, right_key: str,
         right_ds = right_ds.select_columns([right_key])
     left_schema = left_ds.schema().base_schema
     right_schema = right_ds.schema().base_schema
+
+    # the two sides are partitioned independently by _pkey_array, which
+    # branches on the key's physical kind (integer modulo vs string
+    # hash) — keys of different KINDS (int64 vs string/float/decimal)
+    # would land equal logical values in different partitions and
+    # silently lose matches before Acero could even raise. Refuse early.
+    def _key_kind(t: pa.DataType) -> str:
+        if pa.types.is_integer(t):
+            return "integer"
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            return "string"
+        return str(t)  # exact-type match required for everything else
+
+    lk, rk = (_key_kind(left_schema.field(left_key).type),
+              _key_kind(right_schema.field(right_key).type))
+    if lk != rk:
+        raise TypeError(
+            f"shuffle_hash_join key kinds differ: {left_key}={lk} vs "
+            f"{right_key}={rk} — cast one side so both partition "
+            "identically (equal logical keys would otherwise land in "
+            "different partitions and drop matches)")
+    lt_t = left_schema.field(left_key).type
+    rt_t = right_schema.field(right_key).type
+    if lk == "integer" and lt_t != rt_t:
+        # same kind, different widths: partitioning agrees (value
+        # modulo) but Acero refuses mixed-width join keys — widen BOTH
+        # key columns to int64 (lossless for signed ints; uint64 keys
+        # above 2^63 fail the safe cast loudly rather than silently)
+        def widen(key_col):
+            def fn(batch: pa.Table) -> pa.Table:
+                i = batch.column_names.index(key_col)
+                return batch.set_column(
+                    i, key_col, batch.column(key_col).cast(pa.int64()))
+            return fn
+
+        left_ds = left_ds.map_batches(widen(left_key),
+                                      batch_format="pyarrow")
+        right_ds = right_ds.map_batches(widen(right_key),
+                                        batch_format="pyarrow")
+        left_schema = pa.schema(
+            [pa.field(f.name, pa.int64()) if f.name == left_key else f
+             for f in left_schema])
+        right_schema = pa.schema(
+            [pa.field(f.name, pa.int64()) if f.name == right_key else f
+             for f in right_schema])
     left_cols = list(left_schema.names)
     right_cols = list(right_schema.names)
 
     def tag(side: int, key_col: str):
         def fn(batch: pa.Table) -> pa.Table:
-            keys = batch.column(key_col).to_numpy(zero_copy_only=False)
-            n = len(keys)
-            cols = {"pkey": _pkey_array(keys, num_partitions),
+            n = batch.num_rows
+            cols = {"pkey": _pkey_array(batch.column(key_col),
+                                        num_partitions),
                     "side": pa.array(np.full(n, side, dtype="int8"))}
             for c in left_cols:
                 cols[f"l_{c}"] = (batch.column(c) if side == 0
@@ -298,25 +339,20 @@ def interval_join(left_ds, right, *, left_key: str, left_ts: str,
 
     def tag(side: int, key_col: str):
         def fn(batch: pa.Table) -> pa.Table:
-            keys = batch.column(key_col).to_numpy(zero_copy_only=False)
-            if keys.dtype.kind in "iu":
-                pk = (keys % num_partitions).astype("int32")
-            else:
-                pk = np.array(
-                    [zlib.crc32(str(x).encode()) % num_partitions
-                     for x in keys], dtype="int32")
-            cols = {"pkey": pa.array(pk),
-                    "side": pa.array(np.full(len(keys), side, dtype="int8"))}
+            n = batch.num_rows
+            cols = {"pkey": _pkey_array(batch.column(key_col),
+                                        num_partitions),
+                    "side": pa.array(np.full(n, side, dtype="int8"))}
             if side == 0:
                 for c in left_cols:
                     cols[f"l_{c}"] = batch.column(c)
-                cols["r_start"] = pa.nulls(len(keys), pa.int64())
-                cols["r_end"] = pa.nulls(len(keys), pa.int64())
-                cols["r_val"] = pa.nulls(len(keys), right_val_type)
+                cols["r_start"] = pa.nulls(n, pa.int64())
+                cols["r_end"] = pa.nulls(n, pa.int64())
+                cols["r_val"] = pa.nulls(n, right_val_type)
             else:
                 for c in left_cols:
                     cols[f"l_{c}"] = pa.nulls(
-                        len(keys), left_schema.field(c).type)
+                        n, left_schema.field(c).type)
                 # cast to the LEFT key type so the union schema agrees
                 cols[f"l_{left_key}"] = batch.column(key_col).cast(
                     left_key_type)
@@ -458,24 +494,19 @@ def asof_join(left_ds, right, *, left_key: str, right_key: str,
 
     def tag(side: int, key_col: str):
         def fn(batch: pa.Table) -> pa.Table:
-            keys = batch.column(key_col).to_numpy(zero_copy_only=False)
-            if keys.dtype.kind in "iu":
-                pk = (keys % num_partitions).astype("int32")
-            else:
-                pk = np.array(
-                    [zlib.crc32(str(x).encode()) % num_partitions
-                     for x in keys], dtype="int32")
-            cols = {"pkey": pa.array(pk),
-                    "side": pa.array(np.full(len(keys), side, dtype="int8"))}
+            n = batch.num_rows
+            cols = {"pkey": _pkey_array(batch.column(key_col),
+                                        num_partitions),
+                    "side": pa.array(np.full(n, side, dtype="int8"))}
             if side == 0:
                 for c in left_cols:
                     cols[f"l_{c}"] = batch.column(c)
-                cols["r_ts"] = pa.nulls(len(keys), pa.int64())
-                cols["r_val"] = pa.nulls(len(keys), right_val_type)
+                cols["r_ts"] = pa.nulls(n, pa.int64())
+                cols["r_val"] = pa.nulls(n, right_val_type)
             else:
                 for c in left_cols:
                     cols[f"l_{c}"] = pa.nulls(
-                        len(keys), left_schema.field(c).type)
+                        n, left_schema.field(c).type)
                 # cast to the LEFT key type so the union schema agrees
                 # even when the two key columns differ (e.g. int32/int64)
                 cols[f"l_{left_key}"] = batch.column(key_col).cast(

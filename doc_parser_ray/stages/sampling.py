@@ -25,10 +25,21 @@ SAMPLE_MULT = 2246822519
 SAMPLE_MOD = 10_000  # rates are basis points (1/100 of a percent)
 
 
+def _mult_hash(ids: np.ndarray, mult: int, mod: int) -> np.ndarray:
+    """(ids * mult) mod 2^64, then mod ``mod`` — the full-domain
+    contract. The product is computed in uint64 so ids above ~2^41 wrap
+    deterministically instead of overflowing int64; the SQL oracles
+    emulate the identical wrap with HUGEINT arithmetic:
+    ``(CAST(id AS HUGEINT) * mult) % 18446744073709551616 % mod``.
+    Ids must be non-negative (uint64 view and HUGEINT disagree below 0).
+    """
+    with np.errstate(over="ignore"):
+        h = ids.astype(np.uint64) * np.uint64(mult)
+    return (h % np.uint64(mod)).astype(np.int64)
+
+
 def _bucket(ids: np.ndarray) -> np.ndarray:
-    # ids up to ~2^41 stay inside int64 under this multiplier; testdata
-    # ids are dense small ints, so no wraparound on either side
-    return (ids.astype(np.int64) * np.int64(SAMPLE_MULT)) % SAMPLE_MOD
+    return _mult_hash(ids, SAMPLE_MULT, SAMPLE_MOD)
 
 
 def stratified_sample(ds, *, rates_e4: dict[str, int], default_e4: int,
@@ -125,16 +136,18 @@ def bottomk_sample(ds, *, group_col: str, id_col: str = "doc_id",
     bounded by distinct-groups × k (the dimension-key contract; a
     high-cardinality group column belongs in ``stratified_sample``).
 
-    Pure int64 arithmetic, exactly reproducible in SQL — oracle-paired.
-    Returns a driver-side pa.Table (group_col, id_col) sorted by
-    (group, id).
+    Hash contract (same as ``_mult_hash``): the product is taken mod
+    2^64 in uint64, so the full non-negative int64 id domain is defined
+    on both sides — the SQL oracle wraps identically via HUGEINT.
+    Exactly reproducible in SQL — oracle-paired. Returns a driver-side
+    pa.Table (group_col, id_col) sorted by (group, id).
     """
     from doc_parser_ray.util import collect_table
 
     def local_bottomk(batch: pa.Table) -> pa.Table:
         g = batch.column(group_col).to_numpy(zero_copy_only=False)
         ids = batch.column(id_col).to_numpy()
-        key = (ids * np.int64(mult)) % np.int64(mod)
+        key = _mult_hash(ids, mult, mod)
         o = np.lexsort((ids, key, g))
         g, ids, key = g[o], ids[o], key[o]
         run_start = np.zeros(len(g), dtype=np.int64)

@@ -19,13 +19,19 @@ def _polars():
     """Import polars defensively: inside a Ray worker a concurrent
     partial import can leave ``polars._reexport`` without ``Series``
     (observed intermittently as AttributeError in map tasks) — retry
-    briefly until the module is fully initialized."""
+    briefly until the module is fully initialized.
+
+    The probe targets polars 1.x's private ``_reexport`` shim (pinned in
+    this container); on a future polars that renames/drops it, a missing
+    attribute is treated as "fully initialized" rather than crashing a
+    healthy import."""
     import time
 
     for attempt in range(20):
         import polars as pl
 
-        if hasattr(pl._reexport, "Series"):
+        reexport = getattr(pl, "_reexport", None)
+        if reexport is None or hasattr(reexport, "Series"):
             return pl
         time.sleep(0.05 * (attempt + 1))
     return pl  # let the original error surface
@@ -37,15 +43,36 @@ def _hash64(values) -> np.ndarray:
     Accepts a pyarrow Array/ChunkedArray (cast to string zero-ish-copy,
     hashed in one Rust pass via polars' seeded xxhash — deterministic
     across processes for a fixed seed and version) or any Python
-    iterable (stringified first). No per-row Python in the Arrow path.
+    iterable of strings (ingested directly; non-string elements are
+    stringified so the hash matches the Arrow string path). No per-row
+    Python in the Arrow / string-sequence paths.
     """
     pl = _polars()
 
     if isinstance(values, (pa.Array, pa.ChunkedArray)):
         s = pl.from_arrow(values.cast(pa.string()))
     else:
-        s = pl.Series([str(v) for v in values])
+        try:
+            s = pl.Series(values, dtype=pl.String)
+        except TypeError:
+            s = pl.Series([str(v) for v in values])
     return s.hash(seed=0).to_numpy().astype(np.uint64, copy=False)
+
+
+def hash_partition(col, num_partitions: int) -> pa.Array:
+    """Bounded int32 partition ids for a key column — ONE vectorized
+    pass, never per-value Python. Integer keys partition by value
+    modulo (stable, debuggable, matches the SQL-emulable contract);
+    every other type goes through the seeded-xxhash string pass."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if isinstance(col, pa.Array) and pa.types.is_integer(col.type):
+        ids = col.to_numpy(zero_copy_only=False)
+        return pa.array((ids % num_partitions).astype("int32"))
+    if isinstance(col, np.ndarray) and col.dtype.kind in "iu":
+        return pa.array((col % num_partitions).astype("int32"))
+    return pa.array((_hash64(col) % np.uint64(num_partitions))
+                    .astype("int32"))
 
 
 # standard bias-correction constants (Flajolet et al. 2007 Fig. 3):
@@ -180,13 +207,26 @@ class MisraGries:
     def add_batch(self, values, counts=None) -> None:
         """Vectorized bulk insert: pre-aggregate the batch (numpy
         unique), add, then ONE decrement pass — equivalent to item-wise
-        Misra-Gries, no per-item Python loop over the raw stream."""
+        Misra-Gries, no per-item Python loop over the raw stream.
+
+        With ``counts`` the caller asserts ``values`` are ALREADY
+        pre-aggregated (unique) and aligned 1:1 with ``counts`` —
+        np.unique would reorder/dedup values away from their counts, so
+        it is skipped and the alignment is checked instead."""
         arr = np.asarray(values)
-        if counts is None and arr.dtype == object:
-            arr = arr[np.array([v is not None for v in arr])]  # drop nulls
-        vals, cnts = np.unique(arr, return_counts=True)
-        if counts is not None:
-            cnts = np.asarray(counts)  # caller pre-aggregated
+        if counts is None:
+            if arr.dtype == object:
+                arr = arr[np.array([v is not None for v in arr])]  # drop nulls
+            vals, cnts = np.unique(arr, return_counts=True)
+        else:
+            cnts = np.asarray(counts)
+            if len(arr) != len(cnts):
+                raise ValueError(
+                    f"values/counts length mismatch: {len(arr)} != {len(cnts)}")
+            if len(np.unique(arr)) != len(arr):
+                raise ValueError(
+                    "add_batch(values, counts) requires pre-unique values")
+            vals = arr
         for v, c in zip(vals.tolist(), cnts.tolist()):
             self.counts[v] = self.counts.get(v, 0) + int(c)
         self._shrink()
