@@ -154,12 +154,15 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     return {name: time_query(name, sf_dir) for name in TRACKED_QUERIES}
 
 
-def run_queries_isolated(sf_dir: str, num_cpus: int) -> dict[str, float]:
+def run_queries_isolated(
+        sf_dir: str, num_cpus: int) -> tuple[dict[str, float], dict]:
     """One fresh subprocess + Ray session per query (the BASELINE.md §4
     spot-check methodology, persisted): in-suite times on this shared box
     are hostage to ambient load and to cross-query session pollution, so
-    the per-round record carries both series."""
+    the per-round record carries both series. A failed arm records -1
+    plus its stderr tail so the record is diagnosable."""
     times: dict[str, float] = {}
+    errors: dict[str, list[str]] = {}
     env = dict(os.environ, RAY_GRAFT_CPUS=str(num_cpus))
     here = os.path.dirname(os.path.abspath(__file__))
     for name in TRACKED_QUERIES:
@@ -173,7 +176,8 @@ def run_queries_isolated(sf_dir: str, num_cpus: int) -> dict[str, float]:
             times[name] = json.loads(lines[-1])["sec"]
         else:  # keep the record whole even if one arm dies
             times[name] = -1.0
-    return times
+            errors[name] = (out.stderr or "").strip().splitlines()[-4:]
+    return times, errors
 
 
 def main() -> None:
@@ -345,9 +349,11 @@ def main() -> None:
     }
     ray.shutdown()
     if not args.no_isolated:
-        iso = run_queries_isolated(args.sf_dir, num_cpus)
+        iso, iso_errs = run_queries_isolated(args.sf_dir, num_cpus)
         record["queries_isolated"] = iso
         record["isolated_total"] = round(sum(t for t in iso.values() if t > 0), 2)
+        if iso_errs:
+            record["isolated_errors"] = iso_errs
         record["loadavg_after"] = [round(x, 2) for x in os.getloadavg()]
     print(json.dumps(record))
 

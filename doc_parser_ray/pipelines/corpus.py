@@ -32,22 +32,13 @@ def dedup_turns_exact(ds, *, num_partitions: int = 64):
     in-partition winner is min (conv_id, turn_idx) — vectorized span
     scan, shuffle carries full rows exactly once (the corpus would be
     re-joined anyway; for key-only shuffles see stages/dedup.py)."""
-    from doc_parser_ray.functions.textstats import normalize_for_dedup
-    from doc_parser_ray.stages.sketch import _polars
-    pl = _polars()  # race-safe polars import (see sketch.py)
+    from doc_parser_ray.stages.dedup import exact_key_batch
 
     def add_key(batch: pa.Table) -> pa.Table:
-        # normalization stays per-row (string munging); the key is a
-        # 128-bit hash (two seeded-xxhash polars passes, vectorized —
-        # collision odds ~2^-49 even at 10^12 rows) packed into one
-        # fixed-size-binary column straight from the numpy buffer.
-        texts = batch.column("extracted_text").to_pylist()
-        norm = pl.Series([normalize_for_dedup(t or "") for t in texts])
-        h0 = norm.hash(seed=0).to_numpy().astype(np.uint64, copy=False)
-        h1 = norm.hash(seed=1).to_numpy().astype(np.uint64, copy=False)
-        packed = np.column_stack([h0, h1]).tobytes()
-        keys = pa.Array.from_buffers(
-            pa.binary(16), len(texts), [None, pa.py_buffer(packed)])
+        # fully vectorized 128-bit content key (shared with
+        # stages/dedup.py::exact_key_batch — one Arrow normalize pass +
+        # two seeded-xxhash passes, fixed-size-binary packed)
+        keys, h0 = exact_key_batch(batch.column("extracted_text"))
         pkeys = pa.array((h0 % np.uint64(num_partitions)).astype(np.int32))
         return batch.append_column("dedup_key", keys) \
                     .append_column("pkey", pkeys)

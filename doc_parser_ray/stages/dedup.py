@@ -40,12 +40,29 @@ def _sha1_64(s: str) -> int:
     return struct.unpack("<Q", hashlib.sha1(s.encode("utf-8")).digest()[:8])[0]
 
 
+def exact_key_batch(col) -> tuple[pa.Array, np.ndarray]:
+    """128-bit normalized-text content keys for a whole batch: one
+    Arrow-vectorized normalize pass (``_norm_text_batch``) + two
+    seeded-xxhash polars passes packed into ``fixed_size_binary(16)``
+    straight off the numpy buffer (collision odds ~2^-49 even at 10^12
+    rows). Returns ``(keys, h0)`` — ``h0`` doubles as the partition
+    hash. No per-row Python: this replaced a per-row sha1+normalize
+    loop, and exact dedup is the everyday 100 TB op."""
+    from doc_parser_ray.stages.sketch import _polars
+
+    pl = _polars()
+    norm = _norm_text_batch(col)
+    s = pl.from_arrow(norm)
+    h0 = s.hash(seed=0).to_numpy().astype(np.uint64, copy=False)
+    h1 = s.hash(seed=1).to_numpy().astype(np.uint64, copy=False)
+    packed = np.ascontiguousarray(np.column_stack([h0, h1])).tobytes()
+    keys = pa.Array.from_buffers(pa.binary(16), len(norm),
+                                 [None, pa.py_buffer(packed)])
+    return keys, h0
+
+
 def add_exact_key(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    texts = batch.column(text_col).to_pylist()
-    keys = pa.array(
-        [hashlib.sha1(normalize_for_dedup(t or "").encode()).hexdigest() for t in texts],
-        pa.string(),
-    )
+    keys, _ = exact_key_batch(batch.column(text_col))
     return batch.append_column("dedup_key", keys)
 
 
@@ -277,7 +294,11 @@ def _partitioned_bucket_pairs(ds, key_col: str, id_col: str,
 
     def partition_pairs(part: pa.Table) -> pa.Table:
         part = part.sort_by([(key_col, "ascending")])
-        keys = np.asarray(part.column(key_col).to_pylist(), dtype=object)
+        col = part.column(key_col)
+        if pa.types.is_integer(col.type):  # numeric bucket keys: no
+            keys = col.to_numpy(zero_copy_only=False)  # Python objects
+        else:
+            keys = np.asarray(col.to_pylist(), dtype=object)
         n = len(keys)
         outs = []
         if n:
@@ -456,17 +477,25 @@ def simhash_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
     ).select_columns([id_col, "simhash"])
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
-        hs = batch.column("simhash").to_pylist()
-        o_id, o_key, o_h = [], [], []
-        for i, h in zip(ids, hs):
-            for blk in range(blocks):
-                val = (h >> (blk * 16)) & 0xFFFF
-                o_id.append(i)
-                o_key.append(f"{blk}:{val}")
-                o_h.append(h)
-        return pa.table({id_col: pa.array(o_id), "block_key": pa.array(o_key),
-                         "simhash": pa.array(o_h, pa.uint64())})
+        """One row per (doc, 16-bit block) — vectorized: the block key
+        is the block value tagged with the block index in the high
+        bits (numeric keys keep the downstream bucket partitioner off
+        Python objects)."""
+        n = batch.num_rows
+        hs = batch.column("simhash").to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        blk = np.arange(blocks, dtype=np.uint64)
+        keys = ((hs[:, None] >> (blk * np.uint64(16))) & np.uint64(0xFFFF)
+                | (blk << np.uint64(32)))
+        rep = pa.array(np.repeat(np.arange(n, dtype=np.int64), blocks))
+        ids_col = batch.column(id_col)
+        ids_col = (ids_col.combine_chunks()
+                   if isinstance(ids_col, pa.ChunkedArray) else ids_col)
+        return pa.table({
+            id_col: ids_col.take(rep),
+            "block_key": pa.array(keys.reshape(-1).view(np.int64)),
+            "simhash": pa.array(np.repeat(hs, blocks), pa.uint64()),
+        })
 
     def pair_up(group: pa.Table, empty: bool = False) -> pa.Table:
         id_type = group.column(id_col).type
@@ -957,10 +986,55 @@ def _edge_checksum(edges_ds) -> tuple[int, int]:
     return n, s
 
 
+def _local_components_part(part: pa.Table) -> pa.Table:
+    """Single-task union-find over one edge partition (the small-graph
+    fast path): path-halving union-find, then component = min node id
+    per root. Bounded by ``local_threshold`` edges — runs inside a Ray
+    task, never on the driver."""
+    a = part.column("a").to_numpy(zero_copy_only=False)
+    b = part.column("b").to_numpy(zero_copy_only=False)
+    ne = a != b  # self-loops are degenerate singletons (star-path rule)
+    a, b = a[ne], b[ne]
+    if len(a) == 0:
+        return pa.table({"node": pa.array([], pa.int64()),
+                         "component": pa.array([], pa.int64())})
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ai, bi = inv[:len(a)], inv[len(a):]
+    parent = np.arange(len(nodes), dtype=np.int64)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for i in range(len(ai)):
+        ra, rb = find(int(ai[i])), find(int(bi[i]))
+        if ra != rb:
+            parent[rb] = ra
+    roots = np.fromiter((find(i) for i in range(len(nodes))),
+                        dtype=np.int64, count=len(nodes))
+    order = np.argsort(roots, kind="stable")
+    rs, ns = roots[order], nodes[order]
+    starts = np.flatnonzero(np.r_[True, rs[1:] != rs[:-1]])
+    comp_min = np.minimum.reduceat(ns, starts)
+    seg = np.repeat(np.arange(len(starts)), np.diff(np.r_[starts,
+                                                          len(rs)]))
+    comp = np.empty(len(nodes), dtype=np.int64)
+    comp[order] = comp_min[seg]
+    keep = nodes != comp  # roots label themselves; match star output
+    out_n = np.concatenate([nodes[keep], comp_min])
+    out_c = np.concatenate([comp[keep], comp_min])
+    uniq = np.unique(np.stack([out_n, out_c], axis=1), axis=0)
+    return pa.table({"node": pa.array(uniq[:, 0], pa.int64()),
+                     "component": pa.array(uniq[:, 1], pa.int64())})
+
+
 def connected_components(pairs, *, left_col: str = "left_id",
                          right_col: str = "right_id",
                          num_partitions: int = 32,
-                         max_iters: int = 50):
+                         max_iters: int = 50,
+                         local_threshold: int = 4_000_000):
     """Distributed connected components over an undirected edge list
     (e.g. the near-duplicate pair streams of this module) via
     alternating large-star / small-star contraction (Kiveris et al.,
@@ -983,7 +1057,25 @@ def connected_components(pairs, *, left_col: str = "left_id",
         lambda b: pa.table({
             "a": b.column(left_col).cast(pa.int64()),
             "b": b.column(right_col).cast(pa.int64()),
-        }), batch_format="pyarrow", zero_copy_batch=True)
+        }), batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    # size-adaptive strategy (the broadcast-small-side philosophy
+    # applied to graphs): a pair stream under ``local_threshold`` edges
+    # fits ONE reducer, so a single-task union-find replaces O(log² n)
+    # contraction rounds and their per-round exchange latency. Edges
+    # still never touch the driver (one groupby(pkey=0) task). The
+    # iterated large-star/small-star path below engages beyond the
+    # threshold — and stays unit-tested via local_threshold=0.
+    if edges.count() <= local_threshold:
+        def pin(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "pkey", pa.array(np.zeros(batch.num_rows, dtype=np.int32)))
+
+        pinned = edges.map_batches(pin, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+        return pinned.groupby("pkey").map_groups(
+            lambda p: _local_components_part(p.drop_columns(["pkey"])),
+            batch_format="pyarrow")
 
     prev = None
     for _ in range(max_iters):

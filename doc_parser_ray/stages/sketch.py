@@ -50,7 +50,16 @@ def _hash64(values) -> np.ndarray:
     pl = _polars()
 
     if isinstance(values, (pa.Array, pa.ChunkedArray)):
-        s = pl.from_arrow(values.cast(pa.string()))
+        t = values.type
+        if (pa.types.is_binary(t) or pa.types.is_large_binary(t)
+                or pa.types.is_fixed_size_binary(t)):
+            # binary keys hash natively (a cast to string would choke
+            # on non-utf8 bytes)
+            s = pl.from_arrow(values.cast(pa.binary())
+                              if pa.types.is_fixed_size_binary(t)
+                              else values)
+        else:
+            s = pl.from_arrow(values.cast(pa.string()))
     else:
         try:
             s = pl.Series(values, dtype=pl.String)

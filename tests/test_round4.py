@@ -235,8 +235,10 @@ class TestKnnManyBlocks:
         qids = [0, 1, 2]
         qvecs = X[:3].tolist()
         one = knn_cosine(ray.data.from_arrow(tab), qids, qvecs, k=5)
+        # force the DISTRIBUTED per-query reduce on a many-block input
         many = knn_cosine(
-            ray.data.from_arrow(tab).repartition(37), qids, qvecs, k=5)
+            ray.data.from_arrow(tab).repartition(37), qids, qvecs, k=5,
+            driver_merge_rows=0)
         # block size changes BLAS summation order → last-ulp cosine
         # wiggle; ids/ranks must be exactly stable
         key = ["query_id", "vec_id", "rank"]
@@ -319,6 +321,43 @@ class TestCorpusNearDedup:
                 pa.compute.equal(out.column("conv_id"), conv))
             assert set(rows.column("chunk_ord").to_pylist()) == set(range(n))
             assert set(rows.column("n_chunks_of_conv").to_pylist()) == {n}
+
+
+# ----------------------------------------- size-adaptive components
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestComponentsAdaptive:
+    def _labels(self, pairs_tab, **kw):
+        from doc_parser_ray.stages.dedup import connected_components
+        from doc_parser_ray.util import collect_table
+
+        out = collect_table(connected_components(
+            ray.data.from_arrow(pairs_tab), **kw))
+        return sorted(zip(out.column("node").to_pylist(),
+                          out.column("component").to_pylist()))
+
+    def test_local_fast_path_matches_distributed_rounds(self):
+        rng = np.random.RandomState(11)
+        left = rng.randint(0, 300, size=500).astype(np.int64)
+        right = rng.randint(0, 300, size=500).astype(np.int64)
+        tab = pa.table({"left_id": pa.array(left),
+                        "right_id": pa.array(right)})
+        local = self._labels(tab)  # default threshold → one-task path
+        dist = self._labels(tab, local_threshold=0)  # forced star rounds
+        assert local == dist
+        # sanity: labels are cluster minima
+        comp_of = dict(local)
+        for l, r in zip(left, right):
+            if l != r:
+                assert comp_of[l] == comp_of[r]
+                assert comp_of[l] <= min(l, r)
+
+    def test_self_loops_are_singletons_in_both_paths(self):
+        tab = pa.table({"left_id": pa.array([5, 1], type=pa.int64()),
+                        "right_id": pa.array([5, 2], type=pa.int64())})
+        assert self._labels(tab) == [(1, 1), (2, 1)]
+        assert self._labels(tab, local_threshold=0) == [(1, 1), (2, 1)]
 
 
 # --------------------------------------------- real-tokenizer seam test
