@@ -15,26 +15,43 @@ import numpy as np
 import pyarrow as pa
 
 
+_POLARS_READY = False
+
+
 def _polars():
     """Import polars defensively: inside a Ray worker a concurrent
-    partial import can leave ``polars._reexport`` without ``Series``
-    (observed intermittently as AttributeError in map tasks) — retry
-    briefly until the module is fully initialized.
-
-    The probe targets polars 1.x's private ``_reexport`` shim (pinned in
-    this container); on a future polars that renames/drops it, a missing
-    attribute is treated as "fully initialized" rather than crashing a
-    healthy import."""
+    partial import can intermittently leave ``polars._reexport``
+    without ``Series`` (AttributeError deep inside ``pl.from_arrow`` →
+    ``wrap_s``). Attribute checks on the module proved unreliable
+    (round-3/4 bench flakes), so the probe EXERCISES the failing code
+    path itself — a one-element ``from_arrow`` — and retries until it
+    succeeds; success is cached per process."""
+    global _POLARS_READY
+    import sys
     import time
 
-    for attempt in range(20):
-        import polars as pl
+    import polars as pl
 
-        reexport = getattr(pl, "_reexport", None)
-        if reexport is None or hasattr(reexport, "Series"):
+    if _POLARS_READY:
+        return pl
+    last = None
+    for attempt in range(30):
+        try:
+            pl.from_arrow(pa.array(["_probe"]))
+            _POLARS_READY = True
             return pl
-        time.sleep(0.05 * (attempt + 1))
-    return pl  # let the original error surface
+        except AttributeError as e:
+            # a broken partial import is PERMANENT for the process
+            # (retrying the same module object never heals) — purge
+            # polars from sys.modules and import fresh; the import
+            # lock serializes us against any in-flight import thread
+            last = e
+            time.sleep(0.02 * (attempt + 1))
+            for name in [k for k in list(sys.modules)
+                         if k == "polars" or k.startswith("polars.")]:
+                sys.modules.pop(name, None)
+            import polars as pl
+    raise last  # genuinely broken install — surface the real error
 
 
 def _hash64(values) -> np.ndarray:
