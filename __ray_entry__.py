@@ -170,6 +170,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_topk": T.vocab_topk,
         "doc_top_terms": T.doc_top_terms,
         "doc_signals": T.doc_signals,
+        # concat-and-split sample packing (training-sequence layout)
+        "pack_sequences": T.pack_sequences_q,
         # similarity search + distributed k-means
         "knn_cosine": T.knn_documents,
         "kmeans_clusters": T.kmeans_clusters,
@@ -1002,6 +1004,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(f.fp_min AS BIGINT) AS fp_min
             FROM lang l JOIN fp f USING (doc_id)
             ORDER BY doc_id
+        """,
+        # pack_sequences: concat-and-split sample packing — per source,
+        # docs laid back-to-back in doc_id order, cut into 256-token
+        # sequences; coordinates are pure window prefix sums.
+        "pack_sequences": r"""
+            WITH t AS (
+                SELECT doc_id, source,
+                       CAST(FLOOR(
+                           (CASE WHEN trim(text) = '' THEN 0
+                                 ELSE len(regexp_split_to_array(trim(text), '\s+')) END)
+                           * 1.3) AS BIGINT) AS n_tokens
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, source, n_tokens,
+                       COALESCE(SUM(n_tokens) OVER (
+                           PARTITION BY source ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS cum
+                FROM t
+            )
+            SELECT doc_id, source, n_tokens,
+                   CAST(cum // 256 AS BIGINT) AS seq_idx,
+                   CAST(cum % 256 AS BIGINT) AS seq_offset,
+                   CAST(CASE WHEN n_tokens = 0 THEN 1
+                        ELSE (cum + n_tokens - 1) // 256 - cum // 256 + 1
+                        END AS BIGINT) AS n_seqs
+            FROM c ORDER BY doc_id
         """,
         "knn_cosine": """
             WITH q AS (

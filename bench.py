@@ -117,7 +117,7 @@ TRACKED_QUERIES = [
     "dedup_exact_prefix", "dedup_sketch_pairs", "dedup_ngram",
     "dedup_components", "dedup_incremental", "hot_spans",
     "doc_top_terms", "kmeans_clusters",
-    "sample_mix", "decontaminate_corpus",
+    "sample_mix", "decontaminate_corpus", "pack_sequences",
     "doc_stats", "doc_signals", "knn_cosine", "media_decode",
     "media_pipeline", "chunk_suite", "training_corpus",
 ]

@@ -1176,6 +1176,35 @@ def extract_roundtrip(sf_dir: str) -> pa.Table:
     return _collect(out).sort_by([("doc_id", "ascending")])
 
 
+def pack_sequences_q(sf_dir: str, budget: int = 256) -> pa.Table:
+    """Concat-and-split sample packing over the documents table (token
+    counts = the reference's words*1.3 fallback estimate): per source,
+    docs are laid back-to-back in doc_id order and cut into
+    ``budget``-token training sequences. SQL-expressible (window prefix
+    sums) — oracle-paired. See ``stages/packing.py``."""
+    from doc_parser_ray.stages.packing import pack_sequences
+
+    def tok(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "source": batch.column("source"),
+            "n_tokens": pa.array(
+                [count_tokens_fallback((t or "").strip()) for t in texts],
+                pa.int64()),
+        })
+
+    ds = _docs(sf_dir, columns=["doc_id", "source", "text"]).map_batches(
+        tok, batch_format="pyarrow", zero_copy_batch=True)
+    out = pack_sequences(ds, budget_tokens=budget, group_col="source",
+                         id_col="doc_id", tokens_col="n_tokens")
+    tab = _collect_pairs(out, ["source", "doc_id", "n_tokens",
+                               "seq_idx", "seq_offset", "n_seqs"],
+                         [pa.string(), pa.int64(), pa.int64(),
+                          pa.int64(), pa.int64(), pa.int64()])
+    return tab.sort_by([("doc_id", "ascending")])
+
+
 # ----------------------------------------------- driver-window composites
 #
 # The driver records correctness rows for a bounded number of queries()

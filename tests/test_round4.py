@@ -323,6 +323,55 @@ class TestCorpusNearDedup:
             assert set(rows.column("n_chunks_of_conv").to_pylist()) == {n}
 
 
+# -------------------------------------------------- sequence packing
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPackSequences:
+    def test_layout_matches_manual_prefix_sums(self):
+        from doc_parser_ray.stages.packing import pack_sequences
+        from doc_parser_ray.util import collect_table
+
+        tab = pa.table({
+            "source": pa.array(["a", "a", "a", "b", "b", "a"]),
+            "doc_id": pa.array([1, 2, 3, 1, 2, 4], pa.int64()),
+            "n_tokens": pa.array([5, 0, 12, 9, 10, 3], pa.int64()),
+        })
+        out = collect_table(pack_sequences(
+            ray.data.from_arrow(tab), budget_tokens=8,
+            group_col="source", id_col="doc_id", tokens_col="n_tokens"))
+        rows = {(r["source"], r["doc_id"]):
+                (r["seq_idx"], r["seq_offset"], r["n_seqs"])
+                for r in out.to_pylist()}
+        # source a, id order 1,2,3,4: exclusive cums 0,5,5,17
+        assert rows[("a", 1)] == (0, 0, 1)
+        assert rows[("a", 2)] == (0, 5, 1)   # zero-token doc spans 1
+        assert rows[("a", 3)] == (0, 5, 3)   # 12 tokens from offset 5
+        assert rows[("a", 4)] == (2, 1, 1)
+        assert rows[("b", 1)] == (0, 0, 2)   # 9 tokens cross one cut
+        assert rows[("b", 2)] == (1, 1, 2)
+
+    def test_block_order_invariance(self):
+        from doc_parser_ray.stages.packing import pack_sequences
+        from doc_parser_ray.util import collect_table
+
+        rng = np.random.RandomState(5)
+        n = 400
+        tab = pa.table({
+            "source": pa.array([f"s{i % 7}" for i in range(n)]),
+            "doc_id": pa.array(rng.permutation(n).astype(np.int64)),
+            "n_tokens": pa.array(rng.randint(0, 50, n).astype(np.int64)),
+        })
+        a = collect_table(pack_sequences(
+            ray.data.from_arrow(tab), budget_tokens=32)).sort_by(
+            [("source", "ascending"), ("doc_id", "ascending")])
+        b = collect_table(pack_sequences(
+            ray.data.from_arrow(tab).random_shuffle(seed=3).repartition(11),
+            budget_tokens=32)).sort_by(
+            [("source", "ascending"), ("doc_id", "ascending")])
+        assert a.to_pylist() == b.to_pylist()
+
+
 # ----------------------------------------- size-adaptive components
 
 
