@@ -553,7 +553,8 @@ def _sig_bytes(sh: set[int]) -> bytes:
 def ngram_jaccard_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
                         k: int = 3, threshold: float = 0.5,
                         max_shingle_df: int | None = None,
-                        num_partitions: int = 32):
+                        num_partitions: int = 32,
+                        broadcast_sigs_rows: int = 2_000_000):
     """EXACT n-gram-Jaccard near-dup pairs, distributed.
 
     Candidate generation is a shared-shingle inverted index: any pair
@@ -696,7 +697,72 @@ def ngram_jaccard_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
                           "jaccard": pa.array([], pa.float64())})
         return _rd.from_arrow(empty)
 
-    # 3. verify exactly, all dataset-side, via TWO bounded-partition
+    # 3a. verify — broadcast path (budget-switched like asof/interval
+    # joins): when the signature table fits ``broadcast_sigs_rows``,
+    # it is ``ray.put`` ONCE sorted by id and every candidate batch
+    # scores with local searchsorted lookups — zero exchanges instead
+    # of the two co-partitioned rounds below. Cross-bucket duplicate
+    # candidates collapse with one vectorized drop_duplicates per
+    # batch plus the exact-score symmetry (same pair → same row), and
+    # the caller-side groupby in minhash-style flows isn't needed:
+    # partition_pairs already dedupes within a partition, and a pair
+    # can only surface in ONE shingle partition per shared shingle —
+    # dedupe across partitions with one small distinct at the end.
+    if sets_ds.count() <= broadcast_sigs_rows:
+        from doc_parser_ray.util import collect_table
+
+        sig_tab = collect_table(sets_ds)
+        ids_np = sig_tab.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.argsort(ids_np)
+        sorted_ids = ids_np[order]
+        blobs = sig_tab.column("sig").take(
+            pa.array(order, pa.int64())).to_pylist()
+        sig_ref = ray.put((sorted_ids, blobs))
+
+        def verify_batch(batch: pa.Table) -> pa.Table:
+            from doc_parser_ray.stages.joins import _worker_object
+
+            sids, sblobs = _worker_object(sig_ref)
+            import pandas as pd
+
+            df = pd.DataFrame({
+                "left_id": batch.column("left_id").to_numpy(
+                    zero_copy_only=False),
+                "right_id": batch.column("right_id").to_numpy(
+                    zero_copy_only=False),
+            }).drop_duplicates(ignore_index=True)
+            l_o, r_o, j_o = [], [], []
+            li = np.searchsorted(sids, df["left_id"].to_numpy())
+            ri = np.searchsorted(sids, df["right_id"].to_numpy())
+            for a, b, ia, ib in zip(df["left_id"], df["right_id"], li, ri):
+                sa = np.frombuffer(sblobs[ia], dtype=np.uint64)
+                sb = np.frombuffer(sblobs[ib], dtype=np.uint64)
+                if len(sb) < len(sa):
+                    sa, sb = sb, sa
+                idx = np.searchsorted(sb, sa)
+                valid = idx < len(sb)
+                inter = int(np.count_nonzero(sb[idx[valid]] == sa[valid]))
+                union = len(sa) + len(sb) - inter
+                j = inter / union if union else 1.0
+                if j >= threshold:
+                    l_o.append(a)
+                    r_o.append(b)
+                    j_o.append(j)
+            return pa.table({"left_id": pa.array(l_o, id_type),
+                             "right_id": pa.array(r_o, id_type),
+                             "jaccard": pa.array(j_o, pa.float64())})
+
+        scored = cand.map_batches(verify_batch, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+        # a pair may have surfaced in several shingle PARTITIONS (one
+        # per shared shingle hash bucket) — final distinct on the
+        # (small) surviving pair set
+        return scored.groupby(["left_id", "right_id"]).max("jaccard") \
+            .map_batches(lambda b: b.rename_columns(
+                ["left_id", "right_id", "jaccard"]),
+                batch_format="pyarrow")
+
+    # 3b. verify at scale, all dataset-side, via TWO bounded-partition
     # exchanges (the repo's measured-fast shape — Dataset.join's
     # per-query aggregator pools cost seconds of startup each,
     # BASELINE.md §4): pairs and signatures are co-partitioned by an id

@@ -323,6 +323,40 @@ class TestCorpusNearDedup:
             assert set(rows.column("n_chunks_of_conv").to_pylist()) == {n}
 
 
+# ------------------------------------- ngram verify broadcast path
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestNgramVerifyPaths:
+    def test_broadcast_and_exchange_paths_agree(self):
+        from doc_parser_ray.stages.dedup import ngram_jaccard_pairs
+        from doc_parser_ray.util import collect_table
+
+        base = ("alpha beta gamma delta epsilon zeta eta theta iota "
+                "kappa lam mu nu xi omicron pi rho sigma tau upsilon")
+        texts = [base, base.replace("tau", "tau2"),
+                 base.replace("alpha beta", "a b"),
+                 "totally different content with no overlap whatsoever x",
+                 base]
+        tab = pa.table({"doc_id": pa.array(range(len(texts)),
+                                           type=pa.int64()),
+                        "text": pa.array(texts)})
+
+        def run(**kw):
+            out = collect_table(ngram_jaccard_pairs(
+                ray.data.from_arrow(tab), k=3, threshold=0.3, **kw))
+            return sorted(
+                (l, r, round(j, 9)) for l, r, j in zip(
+                    out.column("left_id").to_pylist(),
+                    out.column("right_id").to_pylist(),
+                    out.column("jaccard").to_pylist()))
+
+        broadcast = run()                       # default: sigs broadcast
+        exchange = run(broadcast_sigs_rows=0)   # forced 2-round exchange
+        assert broadcast == exchange
+        assert any(l == 0 and r == 4 for l, r, _ in broadcast)  # dup pair
+
+
 # -------------------------------------------------- sequence packing
 
 
