@@ -1396,10 +1396,37 @@ def chunk_suite(sf_dir: str) -> pa.Table:
     the C7 recursive-character splitter, bpe = C1–C5 with the real
     WordPiece actor-pool budgets (C2). Chunk boundaries are algorithmic
     — no SQL twin; splitter/chunker semantics are unit-tested."""
+    from doc_parser_ray.stages.chunk import (
+        add_vector_text,
+        assemble_chunk_counters,
+        chunk_turns,
+        legacy_chunk_turns,
+    )
+    from doc_parser_ray.stages.extract import apply_extract
+    from doc_parser_ray.stages.tokenize import chunk_turns_wordpiece
+    from doc_parser_ray.sources.transcripts import transcripts_dataset
+
+    # one shared extraction pass for all three variants (identical
+    # parameters to the standalone chunk_transcripts* functions, which
+    # remain the per-variant API); materialized so each chunker re-reads
+    # object-store blocks instead of re-parsing. Variant-vs-standalone
+    # equality is unit-pinned (tests/test_round4.py).
+    ext = apply_extract(
+        transcripts_dataset(n_convs=100, seed=42, max_turns=60)
+    ).materialize()
+
+    hybrid = chunk_turns(ext, max_tokens=120).map_batches(
+        add_vector_text, batch_format="pyarrow", zero_copy_batch=True)
     variants = {
-        "hybrid": chunk_transcripts(sf_dir),
-        "legacy": chunk_transcripts_legacy(sf_dir),
-        "bpe": chunk_transcripts_bpe(sf_dir),
+        "hybrid": _collect(assemble_chunk_counters(hybrid,
+                                                   num_partitions=16)),
+        "legacy": _collect(assemble_chunk_counters(
+            legacy_chunk_turns(ext, chunk_size=400, chunk_overlap=40),
+            num_partitions=16)),
+        "bpe": _collect(assemble_chunk_counters(
+            chunk_turns_wordpiece(ext, max_tokens=120,
+                                  concurrency=(1, 4)),
+            num_partitions=16)),
     }
     parts = []
     for name, tab in variants.items():

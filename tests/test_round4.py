@@ -323,6 +323,69 @@ class TestCorpusNearDedup:
             assert set(rows.column("n_chunks_of_conv").to_pylist()) == {n}
 
 
+# ----------------------------------------- chunk_suite composition
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestChunkSuiteComposite:
+    def test_matches_standalone_variant_functions(self):
+        from doc_parser_ray.pipelines import trainingdata as T
+
+        sf = "/root/testdata/sf0.001"
+        suite = T.chunk_suite(sf)
+        rows = {}
+        for r in suite.to_pylist():
+            rows.setdefault(r["variant"], set()).add(
+                (r["conv_id"], r["chunk_ord"], r["n_chars"],
+                 r["n_chunks_of_conv"]))
+        import pyarrow.compute as pc_
+
+        for name, fn in (("hybrid", T.chunk_transcripts),
+                         ("legacy", T.chunk_transcripts_legacy),
+                         ("bpe", T.chunk_transcripts_bpe)):
+            tab = fn(sf)
+            want = set(zip(
+                tab.column("conv_id").to_pylist(),
+                [int(x) for x in tab.column("chunk_ord").to_pylist()],
+                [int(x) for x in
+                 pc_.utf8_length(tab.column("chunk_text")).to_pylist()],
+                [int(x) for x in
+                 tab.column("n_chunks_of_conv").to_pylist()]))
+            assert rows[name] == want, name
+
+
+# -------------------------------------- fused sketch-pair composite
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSketchPairsComposite:
+    def test_matches_standalone_operators(self):
+        from doc_parser_ray.pipelines import trainingdata as T
+
+        sf = "/root/testdata/sf0.001"
+        suite = T.dedup_sketch_pairs(sf)
+        got = {}
+        for r in suite.to_pylist():
+            got.setdefault(r["method"], {})[
+                (r["left_id"], r["right_id"])] = r["score"]
+        mh = T.dedup_minhash(sf)
+        want_mh = {(l, r): int(np.floor(j * 10000.0 + 0.5))
+                   for l, r, j in zip(mh.column("left_id").to_pylist(),
+                                      mh.column("right_id").to_pylist(),
+                                      mh.column("est_jaccard").to_pylist())}
+        sh = T.dedup_simhash(sf)
+        want_sh = {(l, r): h
+                   for l, r, h in zip(sh.column("left_id").to_pylist(),
+                                      sh.column("right_id").to_pylist(),
+                                      sh.column("hamming").to_pylist())}
+        # pair sets match exactly; minhash scores may differ ±1 in the
+        # 4th decimal (standalone rounds est to 4dp before the e4 floor)
+        assert set(got.get("minhash", {})) == set(want_mh)
+        for k, v in got.get("minhash", {}).items():
+            assert abs(v - want_mh[k]) <= 1
+        assert got.get("simhash", {}) == want_sh
+
+
 # ------------------------------------- ngram verify broadcast path
 
 
