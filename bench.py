@@ -244,10 +244,13 @@ def main() -> None:
             # interference only ever SLOWS a run — max throughput per
             # level is the unbiased estimator of the machine's capacity.
             # The low level is CPU-saturated and task-quantized (stable);
-            # the high level is exposed to load bursts → more trials.
-            n_trials = args.trials if cpus == pair[0] else args.trials * 2
+            # the high level is exposed to load bursts (measured 45%
+            # swing across round-4 runs) → more trials, and every trial
+            # is individually load-gated with a bounded wait.
+            n_trials = args.trials if cpus == pair[0] else args.trials * 3
             best = None
             for _ in range(n_trials):
+                wait_for_quiet(threshold=3.0, max_wait=120.0, poll=10.0)
                 out = subprocess.run(
                     [sys.executable, __file__, "--headline-only",
                      "--mult", str(mult)],
