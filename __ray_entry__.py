@@ -703,7 +703,21 @@ def oracle_sql() -> dict[str, str]:
             FROM m ORDER BY doc_id
         """,
         "dedup_embedding": """
-            WITH e AS (SELECT vec_id, embedding FROM embeddings)
+            -- planted duplicates mirror the Ray pipeline: the fixture
+            -- has no natural pair above ~0.51 cosine, so an exact copy
+            -- and a 2x-scaled (colinear) copy of selected vectors make
+            -- the >= 0.95 gate non-vacuous on both engines
+            WITH e AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 1000000, embedding
+                FROM embeddings WHERE vec_id % 100 = 0
+                UNION ALL
+                SELECT vec_id + 2000000,
+                       list_transform(embedding,
+                                      x -> CAST(x + x AS FLOAT))
+                FROM embeddings WHERE vec_id % 100 = 50
+            )
             SELECT a.vec_id AS left_id, b.vec_id AS right_id,
                    ROUND(list_cosine_similarity(a.embedding, b.embedding),
                          3) AS cosine
