@@ -174,6 +174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": T.pack_sequences_q,
         # similarity search + distributed k-means
         "knn_cosine": T.knn_documents,
+        "knn_ivf": T.knn_documents_ivf,
         "kmeans_clusters": T.kmeans_clusters,
         # S10 lossless document-JSON re-load
         "doc_json_roundtrip": T.doc_json_roundtrip,
@@ -187,7 +188,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_sketch_pairs": T.dedup_sketch_pairs,
         "chunk_suite": T.chunk_suite,
         "bpe_pdf_provenance": T.bpe_pdf_provenance,
-        "knn_ivf": T.knn_documents_ivf,
         "media_pipeline": T.media_pipeline,
         "training_corpus": _q_training_corpus,
         "hwpx_chunks": T.hwpx_chunks,
@@ -1056,6 +1056,64 @@ def oracle_sql() -> dict[str, str]:
                 SELECT q.query_id, e.vec_id,
                        list_cosine_similarity(q.qe, e.embedding) AS cos
                 FROM q CROSS JOIN embeddings e
+                WHERE e.vec_id <> q.query_id
+            ),
+            r AS (
+                SELECT query_id, vec_id, cos,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY query_id ORDER BY cos DESC, vec_id
+                       ) AS rank
+                FROM s
+            )
+            SELECT query_id, vec_id,
+                   CAST(FLOOR(cos * 1000.0 + 0.5) AS BIGINT) AS cosine_e3,
+                   rank
+            FROM r WHERE rank <= 10 ORDER BY query_id, rank
+        """,
+        # knn_ivf: same cross-join-argmin pattern, with the IVF chain in
+        # front — coarse quantizer = 16 lowest-id vectors (deterministic,
+        # so the quantizer itself is replayable unlike float32 Lloyd),
+        # every corpus vector assigned to its argmax-cosine bucket (ties
+        # to the lower cid), each query probing its 4 nearest buckets,
+        # candidates masked to the probed buckets before the top-k
+        "knn_ivf": """
+            WITH c AS (
+                SELECT vec_id AS cid, embedding AS ce
+                FROM embeddings ORDER BY vec_id LIMIT 16
+            ),
+            q AS (
+                SELECT vec_id AS query_id, embedding AS qe
+                FROM embeddings ORDER BY vec_id LIMIT 5
+            ),
+            assign AS (
+                SELECT e.vec_id, c.cid,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(e.embedding,
+                                                           c.ce) DESC,
+                                    c.cid
+                       ) AS rn
+                FROM embeddings e CROSS JOIN c
+            ),
+            bucket AS (SELECT vec_id, cid AS b FROM assign WHERE rn = 1),
+            probe AS (
+                SELECT q.query_id, c.cid,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY list_cosine_similarity(q.qe,
+                                                           c.ce) DESC,
+                                    c.cid
+                       ) AS rn
+                FROM q CROSS JOIN c
+            ),
+            probed AS (SELECT query_id, cid FROM probe WHERE rn <= 4),
+            s AS (
+                SELECT q.query_id, e.vec_id,
+                       list_cosine_similarity(q.qe, e.embedding) AS cos
+                FROM q
+                JOIN probed p ON p.query_id = q.query_id
+                JOIN bucket b ON b.b = p.cid
+                JOIN embeddings e ON e.vec_id = b.vec_id
                 WHERE e.vec_id <> q.query_id
             ),
             r AS (

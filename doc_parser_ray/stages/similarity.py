@@ -216,30 +216,49 @@ def train_centroids(ds, *, n_centroids: int = 16, sample_size: int = 2048,
     return cent
 
 
-def _assign_bucket(batch: pa.Table, centroids_ref) -> pa.Table:
+def _assign_bucket(batch: pa.Table, centroids_ref,
+                   dtype=np.float32) -> pa.Table:
     # centroid matrix read zero-copy from the object store per task
     cent = (ray.get(centroids_ref)
             if isinstance(centroids_ref, ray.ObjectRef) else centroids_ref)
-    emb = _unit(_matrix(batch.column("embedding"), np.float32))
+    emb = _unit(_matrix(batch.column("embedding"), dtype))
+    # ties break toward the lower bucket index (argmax first-hit) — the
+    # same rule the SQL twin's ROW_NUMBER(ORDER BY cos DESC, cid) encodes
     assign = np.argmax(emb @ cent.T, axis=1).astype(np.int32)
     return batch.append_column("ivf_bucket", pa.array(assign, pa.int32()))
 
 
 def knn_cosine_ivf(ds, query_ids, query_vecs, *, k: int = 10,
                    id_col: str = "vec_id", n_centroids: int = 16,
-                   n_probe: int = 4, concurrency=(1, 8)):
+                   n_probe: int = 4, concurrency=(1, 8),
+                   centroids: np.ndarray | None = None,
+                   dtype=np.float32):
     """IVF-bucketed ANN: assign vectors to coarse buckets, probe only the
     ``n_probe`` nearest buckets per query. Approximate (recall < 1 when
     the neighbor lives in an unprobed bucket) but touches only a fraction
-    of the corpus per query at scale."""
-    cent = train_centroids(ds, n_centroids=n_centroids)
+    of the corpus per query at scale.
+
+    ``centroids``: pass a precomputed (k × d) coarse quantizer instead of
+    the sampled-Lloyd ``train_centroids`` — the oracle-paired driver
+    query uses the first ``n_centroids`` corpus vectors here, because a
+    fixed deterministic quantizer (unlike float32 Lloyd training) can be
+    replayed exactly by the DuckDB twin; IVF correctness never depends
+    on quantizer quality, only on both sides probing the same buckets.
+    ``dtype`` float64 gives cross-engine cosine parity (DuckDB computes
+    in double); float32 is the at-scale default."""
+    if centroids is None:
+        cent = train_centroids(ds, n_centroids=n_centroids).astype(dtype)
+    else:
+        cent = _unit(np.ascontiguousarray(centroids, dtype=dtype))
     cent_ref = ray.put(cent)
     bucketed = ds.select_columns([id_col, "embedding"]).map_batches(
-        lambda b: _assign_bucket(b, cent_ref),
+        lambda b: _assign_bucket(b, cent_ref, dtype),
         batch_format="pyarrow", zero_copy_batch=True,
     )
-    Q = _unit(np.asarray(query_vecs, dtype=np.float32))
-    probes = np.argsort(-(Q @ cent.T), axis=1)[:, :n_probe]  # (nq, n_probe)
+    Q = _unit(np.asarray(query_vecs, dtype=dtype))
+    # stable argsort → probe ties break toward the lower bucket index
+    probes = np.argsort(-(Q @ cent.T), axis=1,
+                        kind="stable")[:, :n_probe]  # (nq, n_probe)
     # coarse filter: the union of every query's probed buckets never
     # leaves storage more than once ...
     wanted = sorted({int(b) for row in probes for b in row})
@@ -249,7 +268,7 @@ def knn_cosine_ivf(ds, query_ids, query_vecs, *, k: int = 10,
     probe_sets = {q: {int(b) for b in probes[i]} for i, q in enumerate(query_ids)}
     full = knn_cosine(filtered, query_ids, query_vecs, k=k, id_col=id_col,
                       concurrency=concurrency, bucket_col="ivf_bucket",
-                      probe_map=probe_sets)
+                      probe_map=probe_sets, dtype=dtype)
     return full, probe_sets
 
 
