@@ -1131,10 +1131,14 @@ def oracle_sql() -> dict[str, str]:
         # kmeans_clusters: the fixed-point Lloyd chain on floor(x*1000)
         # quantized embeddings — init = 4 lowest-id vectors, one
         # assignment, one exact-integer-mean centroid update (empty
-        # clusters carry the init centroid), final assignment. Integer-
-        # valued doubles make every sum exact on both engines, so the
-        # distributed block-partial reduce is block-order-independent
-        # and hash-comparable.
+        # clusters carry the init centroid), centroid snap to
+        # floor(mean*1000+0.5), final assignment over x1000-scaled
+        # vectors. The snap keeps the SECOND assignment in exact <=2^53
+        # integer arithmetic too (post-update means are rationals, and
+        # float argmin order could otherwise flip a near-tie between
+        # engines). Integer-valued doubles make every sum exact on both
+        # engines, so the distributed block-partial reduce is
+        # block-order-independent and hash-comparable.
         "kmeans_clusters": """
             WITH e AS (
                 SELECT vec_id,
@@ -1163,7 +1167,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM a1 JOIN e USING (vec_id)
             ),
             cm AS (
-                SELECT cluster, dim, SUM(v) / COUNT(*) AS cv
+                SELECT cluster, dim,
+                       floor(SUM(v) / COUNT(*) * 1000.0 + 0.5) AS cv
                 FROM uv GROUP BY cluster, dim
             ),
             c1 AS (
@@ -1171,14 +1176,20 @@ def oracle_sql() -> dict[str, str]:
                 FROM cm GROUP BY cluster
             ),
             c1f AS (
-                SELECT i.cluster, COALESCE(c.emb, i.emb) AS emb
+                SELECT i.cluster,
+                       COALESCE(c.emb,
+                                list_transform(i.emb, x -> x * 1000.0))
+                           AS emb
                 FROM init i LEFT JOIN c1 c USING (cluster)
             )
             SELECT vec_id, cluster FROM (
                 SELECT e.vec_id, f.cluster,
                        row_number() OVER (
                            PARTITION BY e.vec_id
-                           ORDER BY list_distance(e.emb, f.emb),
+                           ORDER BY list_distance(
+                                        list_transform(e.emb,
+                                                       x -> x * 1000.0),
+                                        f.emb),
                                     f.cluster) AS rn
                 FROM e CROSS JOIN c1f f) WHERE rn = 1
             ORDER BY vec_id

@@ -160,6 +160,11 @@ def gram_fingerprint_batch(texts, k: int = 5):
     arr = (texts.combine_chunks()
            if isinstance(texts, pa.ChunkedArray) else texts)
     arr = pc.fill_null(arr, "")
+    # the buffer walk below assumes 32-bit offsets — a large_string
+    # input would silently misread them (round-4 advisor item), so
+    # normalize the physical layout up front
+    if not pa.types.is_string(arr.type):
+        arr = arr.cast(pa.string())
     words = pc.split_pattern(arr, pattern=" ")
     if isinstance(words, pa.ChunkedArray):
         words = words.combine_chunks()

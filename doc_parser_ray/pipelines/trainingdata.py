@@ -821,12 +821,18 @@ def kmeans_clusters(sf_dir: str, n_clusters: int = 4) -> pa.Table:
     are quantized to integer-valued doubles (floor(x*1000) — exact in
     float64 on both engines, so block-order-independent centroid sums),
     init = the ``n_clusters`` lowest-id vectors, ONE Lloyd update, final
-    assignment. The DuckDB oracle replays the identical fixed-point
-    iteration with list arithmetic (init → argmin assign → per-dim mean
-    with empty-cluster carry-over → argmin assign) — verifying the
-    distributed assign/update/assign chain by value, not just row count.
+    assignment. Updated centroids are snapped to floor(mean*1000+0.5)
+    (``centroid_quant`` — round-4 advisor item), so the SECOND
+    assignment is also pure ≤2^53 integer arithmetic on both engines:
+    without the snap, post-update centroids are rationals and a
+    near-tie vector could flip clusters between BLAS and DuckDB
+    summation orders. The DuckDB oracle replays the identical
+    fixed-point iteration with list arithmetic (init → argmin assign →
+    per-dim mean with empty-cluster carry-over → snap → argmin assign
+    over ×1000-scaled vectors) — verifying the distributed
+    assign/update/assign chain by value, not just row count.
     Returns (vec_id, cluster). The free-iteration variant (n_iter→∞,
-    float32) is exercised by the blob-recovery unit tests."""
+    float32, no snap) is exercised by the blob-recovery unit tests."""
     import numpy as np
 
     from doc_parser_ray.stages.similarity import _matrix, kmeans_lloyd
@@ -846,7 +852,8 @@ def kmeans_clusters(sf_dir: str, n_clusters: int = 4) -> pa.Table:
                            zero_copy_batch=True)
     _, assign_ds, _ = kmeans_lloyd(quant, n_clusters=n_clusters,
                                    n_iter=1, id_col="vec_id",
-                                   dtype=np.float64)
+                                   dtype=np.float64,
+                                   centroid_quant=1000.0)
     tab = _collect(assign_ds)
     return pa.table({
         "vec_id": pc.cast(tab.column("vec_id"), pa.int64()),
@@ -1390,7 +1397,11 @@ def doc_signals(sf_dir: str) -> pa.Table:
     the same stopword sets and tie order) and the winnowing-style
     gram fingerprint (functions/textstats.py::gram_fingerprint_batch —
     pure int64 rolling-hash arithmetic, replayed in SQL via
-    list_reduce/list_transform)."""
+    list_reduce/list_transform). CONTRACT: the fingerprint hashes raw
+    utf-8 bytes while the SQL twin folds ``ascii()`` code points — they
+    agree on ASCII text (the testdata is ASCII); a non-ASCII corpus
+    would diverge from the oracle on multi-byte characters, by design
+    rather than silently (documented here and in the function)."""
     from doc_parser_ray.functions.textstats import gram_fingerprint_batch
 
     def sig(batch: pa.Table) -> pa.Table:

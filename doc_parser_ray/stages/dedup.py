@@ -423,10 +423,16 @@ def simhash64_batch(texts: list[str]) -> np.ndarray:
     from doc_parser_ray.stages.sketch import _polars
     pl = _polars()  # race-safe polars import (see sketch.py)
 
+    # normalize through the SAME Arrow/RE2 pass as exact/ngram dedup
+    # (round-4 advisor item: the scalar normalize_for_dedup splits on
+    # Unicode whitespace, so simhash silently normalized NBSP etc.
+    # differently from the rest of the dedup family)
+    norm = _norm_text_batch(
+        pa.array([t or "" for t in texts], pa.string())).to_pylist()
     feats: list[str] = []
     counts = np.empty(len(texts), dtype=np.int64)
-    for d, text in enumerate(texts):
-        words = normalize_for_dedup(text or "").split()
+    for d, text in enumerate(norm):
+        words = text.split(" ") if text else []
         if not words:
             counts[d] = 0
             continue
@@ -1102,10 +1108,16 @@ def _edge_checksum(edges_ds) -> tuple[int, int]:
 
 
 def _local_components_part(part: pa.Table) -> pa.Table:
-    """Single-task union-find over one edge partition (the small-graph
-    fast path): path-halving union-find, then component = min node id
-    per root. Bounded by ``local_threshold`` edges — runs inside a Ray
-    task, never on the driver."""
+    """Single-task connected components over one edge partition (the
+    small-graph fast path): vectorized min-label propagation with
+    pointer jumping — each outer round pushes component minima across
+    every edge at once (``np.minimum.at``) and then collapses label
+    chains by iterated ``label[label]`` doubling, so even a path graph
+    converges in O(log n) O(E)-vectorized rounds. Replaces the round-4
+    per-edge Python union-find loop (advisor item: ~6 s of single-core
+    Python at the 4M-edge threshold vs ~2 s vectorized, measured).
+    Bounded by ``local_threshold`` edges — runs inside a Ray task,
+    never on the driver."""
     a = part.column("a").to_numpy(zero_copy_only=False)
     b = part.column("b").to_numpy(zero_copy_only=False)
     ne = a != b  # self-loops are degenerate singletons (star-path rule)
@@ -1115,34 +1127,25 @@ def _local_components_part(part: pa.Table) -> pa.Table:
                          "component": pa.array([], pa.int64())})
     nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
     ai, bi = inv[:len(a)], inv[len(a):]
-    parent = np.arange(len(nodes), dtype=np.int64)
-
-    def find(x: int) -> int:
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]  # path halving
-            x = parent[x]
-        return x
-
-    for i in range(len(ai)):
-        ra, rb = find(int(ai[i])), find(int(bi[i]))
-        if ra != rb:
-            parent[rb] = ra
-    roots = np.fromiter((find(i) for i in range(len(nodes))),
-                        dtype=np.int64, count=len(nodes))
-    order = np.argsort(roots, kind="stable")
-    rs, ns = roots[order], nodes[order]
-    starts = np.flatnonzero(np.r_[True, rs[1:] != rs[:-1]])
-    comp_min = np.minimum.reduceat(ns, starts)
-    seg = np.repeat(np.arange(len(starts)), np.diff(np.r_[starts,
-                                                          len(rs)]))
-    comp = np.empty(len(nodes), dtype=np.int64)
-    comp[order] = comp_min[seg]
-    keep = nodes != comp  # roots label themselves; match star output
-    out_n = np.concatenate([nodes[keep], comp_min])
-    out_c = np.concatenate([comp[keep], comp_min])
-    uniq = np.unique(np.stack([out_n, out_c], axis=1), axis=0)
-    return pa.table({"node": pa.array(uniq[:, 0], pa.int64()),
-                     "component": pa.array(uniq[:, 1], pa.int64())})
+    label = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        m = np.minimum(label[ai], label[bi])
+        new = label.copy()
+        np.minimum.at(new, ai, m)
+        np.minimum.at(new, bi, m)
+        while True:  # pointer jumping: label-chain doubling
+            nn = new[new]
+            if np.array_equal(nn, new):
+                break
+            new = nn
+        if np.array_equal(new, label):
+            break
+        label = new
+    # labels are indices of each component's min node (nodes is sorted,
+    # so min index == min id); min nodes label themselves — the same
+    # output contract as the star rounds
+    return pa.table({"node": pa.array(nodes, pa.int64()),
+                     "component": pa.array(nodes[label], pa.int64())})
 
 
 def connected_components(pairs, *, left_col: str = "left_id",

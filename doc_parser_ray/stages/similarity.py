@@ -277,7 +277,7 @@ def knn_cosine_ivf(ds, query_ids, query_vecs, *, k: int = 10,
 
 def kmeans_lloyd(ds, *, n_clusters: int = 8, n_iter: int = 10,
                  id_col: str = "vec_id", tol: float = 1e-6,
-                 dtype=np.float32):
+                 dtype=np.float32, centroid_quant: float | None = None):
     """Distributed Lloyd k-means over an ``embedding`` column — the
     iterative-broadcast shape: every iteration ``ray.put``s the (k × d)
     centroid matrix ONCE, each block computes assignments with one
@@ -296,6 +296,16 @@ def kmeans_lloyd(ds, *, n_clusters: int = 8, n_iter: int = 10,
     streams (id_col, cluster). The projected input is materialized once
     so the ``n_iter`` passes re-read object-store blocks (spilling, not
     re-parsing parquet) — at 100 TB that is exactly the trade you want.
+
+    ``centroid_quant`` (round-4 advisor item): after every Lloyd
+    update, snap centroids to ``floor(mean * q + 0.5)`` and score
+    subsequent assignments against ``q``-scaled vectors. With
+    integer-valued inputs (the oracle-paired query quantizes
+    embeddings to ``floor(x*1000)`` first) every assignment score
+    ``2(qx)·c - |c|²`` is then an exact ≤2^53 integer in float64, so
+    the argmin is bit-identical regardless of summation order — a
+    DuckDB twin replaying the same snap formula cannot flip a near-tie
+    against the BLAS path. Returned centroids stay at the ``q`` scale.
     """
     from doc_parser_ray.stages.joins import _worker_object
     from doc_parser_ray.util import collect_table
@@ -323,20 +333,22 @@ def kmeans_lloyd(ds, *, n_clusters: int = 8, n_iter: int = 10,
     d = cent.shape[1]
 
     inertia = float("inf")
+    xscale = 1.0  # cent is stored at xscale × the input coordinates
     for _ in range(n_iter):
-        cent_ref = ray.put((cent, (cent * cent).sum(axis=1)))
+        cent_ref = ray.put((cent, (cent * cent).sum(axis=1), xscale))
 
         def partials(batch: pa.Table) -> pa.Table:
-            C, cn = _worker_object(cent_ref)
+            C, cn, s = _worker_object(cent_ref)
             X = _matrix(batch.column("embedding"), dtype)
-            scores = 2.0 * (X @ C.T) - cn  # (n, k)
+            scores = 2.0 * ((X * s) @ C.T) - cn  # (n, k), s²-scaled
             a = np.argmax(scores, axis=1)
             sums = np.zeros((len(C), X.shape[1]), dtype=np.float64)
             np.add.at(sums, a, X.astype(np.float64))
             counts = np.bincount(a, minlength=len(C)).astype(np.int64)
             part_inertia = float(
                 (X.astype(np.float64) ** 2).sum()
-                - scores[np.arange(len(a)), a].astype(np.float64).sum())
+                - scores[np.arange(len(a)), a].astype(np.float64).sum()
+                / (s * s))
             return pa.table({
                 "sums": pa.array([sums.ravel()], pa.list_(pa.float64())),
                 "counts": pa.array([counts], pa.list_(pa.int64())),
@@ -350,21 +362,29 @@ def kmeans_lloyd(ds, *, n_clusters: int = 8, n_iter: int = 10,
         counts = np.asarray(agg.column("counts").to_pylist(),
                             dtype=np.int64).sum(axis=0)
         inertia = float(np.asarray(agg.column("inertia")).sum())
-        new_cent = cent.astype(np.float64).copy()
+        # true-scale means; empty clusters carry their previous centroid
+        new_true = (cent.astype(np.float64) / xscale).copy()
         nz = counts > 0
-        new_cent[nz] = sums[nz] / counts[nz, None]
-        new_cent = new_cent.astype(dtype)
-        moved = float(((new_cent - cent) ** 2).sum(axis=1).max())
-        cent = new_cent
+        new_true[nz] = sums[nz] / counts[nz, None]
+        if centroid_quant:
+            new_cent = np.floor(new_true * centroid_quant + 0.5)
+            new_scale = float(centroid_quant)
+        else:
+            new_cent = new_true.astype(dtype)
+            new_scale = 1.0
+        moved = float(((new_cent / new_scale
+                        - cent.astype(np.float64) / xscale) ** 2)
+                      .sum(axis=1).max())
+        cent, xscale = new_cent.astype(dtype), new_scale
         if moved <= tol:
             break
 
-    cent_ref = ray.put((cent, (cent * cent).sum(axis=1)))
+    cent_ref = ray.put((cent, (cent * cent).sum(axis=1), xscale))
 
     def assign(batch: pa.Table) -> pa.Table:
-        C, cn = _worker_object(cent_ref)
+        C, cn, s = _worker_object(cent_ref)
         X = _matrix(batch.column("embedding"), dtype)
-        a = np.argmax(2.0 * (X @ C.T) - cn, axis=1).astype(np.int32)
+        a = np.argmax(2.0 * ((X * s) @ C.T) - cn, axis=1).astype(np.int32)
         return pa.table({id_col: batch.column(id_col),
                          "cluster": pa.array(a, pa.int32())})
 
