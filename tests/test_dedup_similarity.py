@@ -494,3 +494,57 @@ class TestKMeans:
         assert len(cent) == 2
         out = collect_table(assign_ds)
         assert sorted(out.column("cluster").to_pylist()) == [0, 1]
+
+
+class TestBatchJaccardArms:
+    """The hybrid scorer's two arms (short-run lexsort vs long-run
+    per-pair merge) must agree exactly — the switch is a pure
+    performance decision (_LEXSORT_MEAN_RUN_MAX, measured crossover)."""
+
+    def _random_pairs(self, seed, n, lo, hi):
+        rng = np.random.default_rng(seed)
+        la = rng.integers(lo, hi, n)
+        lb = rng.integers(lo, hi, n)
+        # sorted-unique runs, with planted overlap between the sides
+        fa, fb = [], []
+        for a, b in zip(la, lb):
+            pool = rng.choice(10_000, size=a + b, replace=False)
+            shared = rng.integers(0, min(a, b) + 1)
+            sa = np.union1d(pool[:a - shared], pool[a:a + shared])
+            sb = np.union1d(pool[a - shared:a + b - 2 * shared][:b - shared],
+                            pool[a:a + shared])
+            fa.append(np.sort(sa).astype(np.uint64))
+            fb.append(np.sort(sb).astype(np.uint64))
+        la = np.array([len(x) for x in fa], np.int64)
+        lb = np.array([len(x) for x in fb], np.int64)
+        return (np.concatenate(fa), la, np.concatenate(fb), lb)
+
+    def test_arms_agree(self):
+        from doc_parser_ray.stages import dedup as D
+
+        fa, la, fb, lb = self._random_pairs(7, 200, 5, 300)
+        want = None
+        for forced in (0, 10**9):  # 0 → always loop, huge → always lexsort
+            orig = D._LEXSORT_MEAN_RUN_MAX
+            D._LEXSORT_MEAN_RUN_MAX = forced
+            try:
+                got = D._batch_jaccard(fa, la, fb, lb)
+            finally:
+                D._LEXSORT_MEAN_RUN_MAX = orig
+            if want is None:
+                want = got
+            else:
+                np.testing.assert_allclose(got, want, rtol=0, atol=0)
+
+    def test_offset_views_match_contiguous(self):
+        from doc_parser_ray.stages import dedup as D
+
+        fa, la, fb, lb = self._random_pairs(9, 50, 3, 60)
+        base = D._batch_jaccard(fa, la, fb, lb)
+        # same runs addressed as views into one shared buffer
+        flat = np.concatenate([fa, fb])
+        a_starts = np.concatenate(([0], np.cumsum(la)))[:-1]
+        b_starts = len(fa) + np.concatenate(([0], np.cumsum(lb)))[:-1]
+        got = D._batch_jaccard(flat, la, flat, lb,
+                               fa_starts=a_starts, fb_starts=b_starts)
+        np.testing.assert_allclose(got, base, rtol=0, atol=0)
